@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark: SAVP training throughput on BAIR-shaped 64x64 video.
+
+Measures train frames/sec/chip for the flagship full SAVP model (VAE + GAN,
+ConvLSTM/CDNA generator, video SN-discriminator) on synthetic BAIR-shaped
+data (64x64x3, batch 16, context 2 -> predict 10), the configuration named
+by BASELINE.json's north star.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference (TF1 SAVP, alexlee-gk/video_prediction) publishes
+no throughput numbers (BASELINE.md). We use an estimated 300 frames/sec for
+the TF1 implementation on its 2018-era GPU (batch 16 x 10 predicted frames
+at ~1.9 steps/sec, typical for this model class on a Titan Xp/P100) as the
+denominator; BASELINE.md records this as an estimate to be re-measured if
+the reference becomes runnable. vs_baseline = ours / 300.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# keep fp32 params but bf16 conv/matmul compute via hparams below
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+
+import jax
+import numpy as np
+
+REF_BASELINE_FRAMES_PER_SEC = 300.0  # estimated TF1 GPU baseline; see docstring
+
+BATCH = 16
+SEQ_LEN = 12
+CONTEXT = 2
+SIZE = 64
+
+
+def main():
+    from video_prediction_tpu.configs.hparams import ModelHparams
+    from video_prediction_tpu.models import get_model_class
+    from video_prediction_tpu.train import create_train_state, make_train_step
+
+    hp = ModelHparams(
+        context_frames=CONTEXT,
+        sequence_length=SEQ_LEN,
+        batch_size=BATCH,
+        l1_weight=100.0,
+        kl_weight=0.01,
+        nz=8,
+        video_sn_gan_weight=0.1,
+        video_sn_vae_gan_weight=0.1,
+        gan_loss_type="LSGAN",
+        beta1=0.5,
+        transformation="cdna",
+        num_transformed_images=4,
+        schedule_sampling_k=900.0,
+        compute_dtype="bfloat16",
+    )
+    model = get_model_class("savp")(hp)
+
+    rng = np.random.RandomState(0)
+    batch = {"images": jax.numpy.asarray(rng.rand(BATCH, SEQ_LEN, SIZE, SIZE, 3), jax.numpy.float32)}
+
+    ts = create_train_state(model, jax.random.PRNGKey(0), batch)
+    step_fn = make_train_step(model)
+
+    # warmup + compile
+    ts, scalars = step_fn(ts, batch)
+    jax.block_until_ready(scalars["g_loss"])
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        ts, scalars = step_fn(ts, batch)
+    jax.block_until_ready(scalars["g_loss"])
+    dt = time.perf_counter() - t0
+
+    g_loss = float(scalars["g_loss"])
+    d_loss = float(scalars["d_loss"])
+    if not (np.isfinite(g_loss) and np.isfinite(d_loss)):
+        print(json.dumps({"error": f"non-finite losses g={g_loss} d={d_loss}"}), file=sys.stderr)
+        sys.exit(1)
+
+    steps_per_sec = n_steps / dt
+    frames_per_step = BATCH * (SEQ_LEN - CONTEXT)
+    n_chips = jax.device_count()
+    frames_per_sec_per_chip = steps_per_sec * frames_per_step / n_chips
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_frames_per_sec_per_chip_bair64_savp",
+                "value": round(frames_per_sec_per_chip, 2),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(frames_per_sec_per_chip / REF_BASELINE_FRAMES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

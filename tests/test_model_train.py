@@ -1,0 +1,218 @@
+"""Integration tests: model init/forward/train-step for the zoo variants,
+plus 8-device data-parallel gradient parity (SURVEY §4 distributed tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_prediction_tpu.configs.hparams import ModelHparams
+from video_prediction_tpu.models import get_model_class
+from video_prediction_tpu.parallel import make_mesh, shard_batch
+from video_prediction_tpu.train import create_train_state, make_train_step, make_eval_step
+
+B, T, H, W, C = 2, 4, 16, 16, 3
+
+
+def tiny_hparams(**kw) -> ModelHparams:
+    base = dict(
+        context_frames=2,
+        sequence_length=T,
+        ngf=4,
+        ndf=4,
+        nef=8,
+        l1_weight=1.0,
+        nz=0,
+        num_transformed_images=2,
+        conv_rnn_norm=False,
+        clip_length=3,
+        schedule_sampling_k=100.0,
+    )
+    base.update(kw)
+    return ModelHparams(**base)
+
+
+def make_batch(key=0, batch=B):
+    rng = jax.random.PRNGKey(key)
+    return {"images": jax.random.uniform(rng, (batch, T, H, W, C))}
+
+
+class TestDeterministic:
+    def test_init_and_forward_shapes(self):
+        model = get_model_class("savp")(tiny_hparams())
+        batch = make_batch()
+        params, state = model.init_variables(jax.random.PRNGKey(0), batch)
+        out = model.forward(params, batch, jax.random.PRNGKey(1), jnp.zeros((), jnp.int32), train=True)
+        assert out["gen_images"].shape == (B, T - 1, H, W, C)
+        assert not state  # no discriminator -> no spectral state
+
+    def test_train_step_decreases_loss(self):
+        model = get_model_class("savp")(tiny_hparams())
+        batch = make_batch()
+        ts = create_train_state(model, jax.random.PRNGKey(0), batch)
+        step = make_train_step(model)
+        losses = []
+        for _ in range(8):
+            ts, scalars = step(ts, batch)
+            losses.append(float(scalars["g_loss"]))
+        assert losses[-1] < losses[0]
+        assert int(ts.step) == 8
+
+    def test_eval_step_metrics(self):
+        model = get_model_class("savp")(tiny_hparams())
+        batch = make_batch()
+        params, _ = model.init_variables(jax.random.PRNGKey(0), batch)
+        eval_step = make_eval_step(model)
+        gen, metrics = eval_step(params, batch, jax.random.PRNGKey(1))
+        assert gen.shape == (B, T - 1, H, W, C)
+        assert np.isfinite(float(metrics["psnr"]))
+        assert 0.0 <= float(metrics["ssim"]) <= 1.0
+        assert metrics["psnr_per_frame"].shape == (T - 2,)  # predict span
+
+
+class TestVAE:
+    def test_posterior_rollout_and_kl(self):
+        model = get_model_class("savp")(tiny_hparams(nz=4, kl_weight=0.1))
+        batch = make_batch()
+        params, _ = model.init_variables(jax.random.PRNGKey(0), batch)
+        assert "posterior" in params
+        total, aux = model.compute_losses(
+            params, {}, batch, jax.random.PRNGKey(1), jnp.zeros((), jnp.int32)
+        )
+        assert "kl" in aux["g_losses"]
+        assert "gen_images_enc" in aux["outputs"]
+        assert np.isfinite(float(total))
+
+    def test_vae_train_step(self):
+        model = get_model_class("savp")(tiny_hparams(nz=4, kl_weight=0.1))
+        batch = make_batch()
+        ts = create_train_state(model, jax.random.PRNGKey(0), batch)
+        step = make_train_step(model)
+        for _ in range(3):
+            ts, scalars = step(ts, batch)
+        assert np.isfinite(float(scalars["g_loss"]))
+
+    def test_eval_uses_prior_samples(self):
+        model = get_model_class("savp")(tiny_hparams(nz=4, kl_weight=0.1))
+        batch = make_batch()
+        params, _ = model.init_variables(jax.random.PRNGKey(0), batch)
+        out1 = model.forward(params, batch, jax.random.PRNGKey(1), jnp.zeros((), jnp.int32), train=False)
+        out2 = model.forward(params, batch, jax.random.PRNGKey(2), jnp.zeros((), jnp.int32), train=False)
+        # different prior z draws -> different rollouts
+        assert not np.allclose(np.array(out1["gen_images"]), np.array(out2["gen_images"]))
+
+
+class TestGAN:
+    def _model(self, **kw):
+        hp = tiny_hparams(
+            video_sn_gan_weight=0.1,
+            gan_loss_type="LSGAN",
+            **kw,
+        )
+        return get_model_class("savp")(hp)
+
+    def test_gan_losses_present(self):
+        model = self._model()
+        batch = make_batch()
+        params, state = model.init_variables(jax.random.PRNGKey(0), batch)
+        assert "discriminator" in params
+        assert "video" in state["spectral"]
+        total, aux = model.compute_losses(
+            params, state, batch, jax.random.PRNGKey(1), jnp.zeros((), jnp.int32)
+        )
+        assert "video_gan" in aux["g_losses"]
+        assert "video_gan_real" in aux["d_losses"]
+        assert np.isfinite(float(total))
+
+    def test_gan_gradient_isolation(self):
+        """G loss must not produce D grads and vice versa."""
+        model = self._model(l1_weight=0.0)
+        batch = make_batch()
+        params, state = model.init_variables(jax.random.PRNGKey(0), batch)
+
+        def g_only(params):
+            _, aux = model.compute_losses(params, state, batch, jax.random.PRNGKey(1), jnp.zeros((), jnp.int32))
+            return aux["g_loss"]
+
+        def d_only(params):
+            _, aux = model.compute_losses(params, state, batch, jax.random.PRNGKey(1), jnp.zeros((), jnp.int32))
+            return aux["d_loss"]
+
+        g_grads = jax.grad(g_only)(params)
+        d_grads = jax.grad(d_only)(params)
+        # pure G loss -> zero grads on discriminator params
+        d_leaf = jax.tree_util.tree_leaves(g_grads["discriminator"])
+        assert all(float(jnp.max(jnp.abs(x))) == 0.0 for x in d_leaf)
+        # pure D loss -> zero grads on generator params
+        g_leaf = jax.tree_util.tree_leaves(d_grads["generator"])
+        assert all(float(jnp.max(jnp.abs(x))) == 0.0 for x in g_leaf)
+
+    def test_savp_full_train_step(self):
+        """Full SAVP: VAE + GAN + VAE-GAN discriminator pair."""
+        model = self._model(nz=4, kl_weight=0.1, video_sn_vae_gan_weight=0.1)
+        batch = make_batch()
+        params, state = model.init_variables(jax.random.PRNGKey(0), batch)
+        assert "video_vae" in params["discriminator"]
+        ts = create_train_state(model, jax.random.PRNGKey(0), batch)
+        step = make_train_step(model)
+        ts, scalars = step(ts, batch)
+        assert "video_vae_gan" in " ".join(scalars.keys())
+        assert np.isfinite(float(scalars["d_loss"]))
+        # spectral state advanced
+        u_old = jax.tree_util.tree_leaves(state["spectral"])[0]
+        u_new = jax.tree_util.tree_leaves(ts.model_state["spectral"])[0]
+        assert not np.allclose(np.array(u_old), np.array(u_new))
+
+
+class TestOtherModels:
+    @pytest.mark.parametrize("name", ["dna", "sna", "sv2p"])
+    def test_zoo_models_run(self, name):
+        cls = get_model_class(name)
+        hp = cls.default_hparams().replace(
+            context_frames=2, sequence_length=T, ngf=4, nef=8, conv_rnn_norm=False, use_states=False, state_weight=0.0
+        )
+        model = cls(hp)
+        batch = make_batch()
+        ts = create_train_state(model, jax.random.PRNGKey(0), batch)
+        step = make_train_step(model)
+        ts, scalars = step(ts, batch)
+        assert np.isfinite(float(scalars["g_loss"]))
+
+    def test_ground_truth_model(self):
+        model = get_model_class("ground_truth")(tiny_hparams())
+        batch = make_batch()
+        out = model.forward({}, batch, jax.random.PRNGKey(0), 0, False)
+        np.testing.assert_allclose(np.array(out["gen_images"]), np.array(batch["images"][:, 1:]))
+
+    def test_repeat_model(self):
+        model = get_model_class("repeat")(tiny_hparams())
+        batch = make_batch()
+        out = model.forward({}, batch, jax.random.PRNGKey(0), 0, False)
+        assert out["gen_images"].shape == (B, T - 1, H, W, C)
+        # predicted frames all equal last context frame
+        last_ctx = np.array(batch["images"][:, 1])
+        np.testing.assert_allclose(np.array(out["gen_images"][:, 1]), last_ctx)
+        np.testing.assert_allclose(np.array(out["gen_images"][:, 2]), last_ctx)
+
+
+class TestDataParallel:
+    def test_mesh_train_matches_single_device(self):
+        """psum gradient equivalence: 8-way sharded step == single-device step."""
+        assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+        model = get_model_class("savp")(tiny_hparams(schedule_sampling="none"))
+        batch = make_batch(batch=8)
+        ts0 = create_train_state(model, jax.random.PRNGKey(0), batch)
+
+        step_single = make_train_step(model, donate=False)
+        ts1, s1 = step_single(ts0, batch)
+
+        mesh = make_mesh()
+        step_mesh = make_train_step(model, mesh=mesh, donate=False)
+        sharded = shard_batch(batch, mesh)
+        ts2, s2 = step_mesh(ts0, sharded)
+
+        assert float(s1["g_loss"]) == pytest.approx(float(s2["g_loss"]), rel=1e-4)
+        p1 = jax.tree_util.tree_leaves(ts1.params)
+        p2 = jax.tree_util.tree_leaves(ts2.params)
+        for a, b in zip(p1, p2):
+            np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-5)

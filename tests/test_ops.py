@@ -1,0 +1,265 @@
+"""Unit tests for primitive ops: layers, spectral norm, ConvRNN cells,
+CDNA/DNA kernel application (vs naive loops), and flow warping."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_prediction_tpu import ops
+
+
+class TestLayers:
+    def test_conv2d_shape(self):
+        m = ops.Conv2D(features=8, kernel_size=3, strides=2)
+        x = jnp.ones((2, 16, 16, 3))
+        params = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(params, x)
+        assert y.shape == (2, 8, 8, 8)
+
+    def test_upsample_nearest_exact(self):
+        x = jnp.arange(4.0).reshape(1, 2, 2, 1)
+        y = ops.layers.upsample2d(x, 2, "nearest")
+        assert y.shape == (1, 4, 4, 1)
+        np.testing.assert_allclose(y[0, :2, :2, 0], np.full((2, 2), 0.0))
+        np.testing.assert_allclose(y[0, 2:, 2:, 0], np.full((2, 2), 3.0))
+
+    def test_upsample_conv(self):
+        m = ops.UpsampleConv2D(features=4, scale=2)
+        x = jnp.ones((1, 8, 8, 2))
+        params = m.init(jax.random.PRNGKey(0), x)
+        assert m.apply(params, x).shape == (1, 16, 16, 4)
+
+    def test_conv_pool(self):
+        m = ops.ConvPool2D(features=4)
+        x = jnp.ones((1, 8, 8, 2))
+        params = m.init(jax.random.PRNGKey(0), x)
+        assert m.apply(params, x).shape == (1, 4, 4, 4)
+
+    def test_norm_registry(self):
+        for name in ["instance", "layer", "none"]:
+            layer = ops.get_norm_layer(name)()
+            x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+            params = layer.init(jax.random.PRNGKey(1), x)
+            y = layer.apply(params, x)
+            assert y.shape == x.shape
+        with pytest.raises(ValueError):
+            ops.get_norm_layer("bogus")
+
+    def test_instance_norm_statistics(self):
+        # instance norm: per-sample per-channel spatial stats ~ (0, 1)
+        layer = ops.get_norm_layer("instance")()
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3)) * 5 + 2
+        params = layer.init(jax.random.PRNGKey(1), x)
+        y = layer.apply(params, x)
+        means = np.array(y).mean(axis=(1, 2))
+        stds = np.array(y).std(axis=(1, 2))
+        np.testing.assert_allclose(means, 0.0, atol=1e-4)
+        np.testing.assert_allclose(stds, 1.0, atol=1e-2)
+
+    def test_registries_raise(self):
+        with pytest.raises(ValueError):
+            ops.get_upsample_layer("nope")
+        with pytest.raises(ValueError):
+            ops.get_downsample_layer("nope")
+        with pytest.raises(ValueError):
+            ops.layers.get_activation("nope")
+
+
+class TestSpectralNorm:
+    def test_power_iteration_converges_to_sigma(self):
+        # after many iterations, sigma estimate ~= top singular value
+        rng = np.random.RandomState(0)
+        w = jnp.asarray(rng.randn(32, 16).astype(np.float32))
+        u = jnp.asarray(rng.randn(16).astype(np.float32))
+        u = u / np.linalg.norm(u)
+        for _ in range(50):
+            _, u, sigma = ops.spectral_normalize(w, u)
+        true_sigma = np.linalg.svd(np.array(w), compute_uv=False)[0]
+        np.testing.assert_allclose(float(sigma), true_sigma, rtol=1e-3)
+
+    def test_sn_conv_updates_u_only_when_mutable(self):
+        m = ops.SpectralConv2D(features=8)
+        x = jnp.ones((2, 8, 8, 3))
+        variables = m.init(jax.random.PRNGKey(0), x)
+        assert "spectral" in variables
+        y, new_vars = m.apply(variables, x, mutable=["spectral"])
+        assert y.shape == (2, 8, 8, 8)
+        u0 = variables["spectral"]
+        u1 = new_vars["spectral"]
+        leaf0 = jax.tree_util.tree_leaves(u0)[0]
+        leaf1 = jax.tree_util.tree_leaves(u1)[0]
+        assert not np.allclose(leaf0, leaf1)
+        # immutable apply: no state change, same output shape
+        y2 = m.apply(variables, x)
+        assert y2.shape == y.shape
+
+    def test_sn_bounds_spectral_norm(self):
+        # after normalization the effective kernel has sigma <= ~1
+        m = ops.SpectralDense(features=8, use_bias=False)
+        x = jnp.eye(16)
+        variables = m.init(jax.random.PRNGKey(0), x)
+        # run a few mutable passes to converge u
+        for _ in range(20):
+            y, variables_new = m.apply(variables, x, mutable=["spectral"])
+            variables = {**variables, **variables_new}
+        w_eff = np.array(y)  # y = W_bar since x = I
+        sigma = np.linalg.svd(w_eff, compute_uv=False)[0]
+        assert sigma < 1.05
+
+    def test_sn_conv3d(self):
+        m = ops.SpectralConv3D(features=4, strides=(1, 2, 2))
+        x = jnp.ones((2, 4, 8, 8, 3))
+        variables = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(variables, x)
+        assert y.shape == (2, 4, 4, 4, 4)
+
+
+class TestConvRNN:
+    def test_convlstm_shapes_and_carry(self):
+        cell = ops.ConvLSTMCell(features=8)
+        x = jnp.ones((2, 8, 8, 4))
+        carry = cell.initialize_carry(2, (8, 8))
+        params = cell.init(jax.random.PRNGKey(0), carry, x)
+        (c, h), y = cell.apply(params, carry, x)
+        assert c.shape == h.shape == y.shape == (2, 8, 8, 8)
+        np.testing.assert_allclose(np.array(h), np.array(y))
+
+    def test_convlstm_norm_variant(self):
+        cell = ops.ConvLSTMCell(features=4, use_norm=True)
+        x = jnp.ones((1, 4, 4, 2))
+        carry = cell.initialize_carry(1, (4, 4))
+        params = cell.init(jax.random.PRNGKey(0), carry, x)
+        (_, h), _ = cell.apply(params, carry, x)
+        assert h.shape == (1, 4, 4, 4)
+
+    def test_convlstm_matches_manual_equations(self):
+        # Cross-check the cell against hand-rolled LSTM equations.
+        cell = ops.ConvLSTMCell(features=3, kernel_size=3)
+        rng = jax.random.PRNGKey(42)
+        x = jax.random.normal(rng, (2, 5, 5, 4))
+        c0 = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 5, 3))
+        h0 = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 5, 3))
+        params = cell.init(jax.random.PRNGKey(0), (c0, h0), x)
+        (c1, h1), _ = cell.apply(params, (c0, h0), x)
+
+        p = params["params"]
+
+        def conv(inp, kernel, bias=None):
+            out = jax.lax.conv_general_dilated(
+                inp, kernel, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+            if bias is not None:
+                out = out + bias
+            return out
+
+        z = conv(x, p["gates_x"]["kernel"], p["gates_x"]["bias"]) + conv(h0, p["gates_h"]["kernel"])
+        i, f, g, o = np.split(np.array(z), 4, axis=-1)
+        sig = lambda v: 1.0 / (1.0 + np.exp(-v))
+        c_ref = sig(f + 1.0) * np.array(c0) + sig(i) * np.tanh(g)
+        h_ref = sig(o) * np.tanh(c_ref)
+        np.testing.assert_allclose(np.array(c1), c_ref, atol=1e-4)
+        np.testing.assert_allclose(np.array(h1), h_ref, atol=1e-4)
+
+    def test_convgru(self):
+        cell = ops.ConvGRUCell(features=6)
+        x = jnp.ones((2, 8, 8, 3))
+        carry = cell.initialize_carry(2, (8, 8))
+        params = cell.init(jax.random.PRNGKey(0), carry, x)
+        h, y = cell.apply(params, carry, x)
+        assert h.shape == (2, 8, 8, 6)
+        np.testing.assert_allclose(np.array(h), np.array(y))
+
+
+def _naive_cdna(image, kernels):
+    """Per-sample conv via explicit padding + loops (the ground truth)."""
+    b, h, w, c = image.shape
+    _, kh, kw, n = kernels.shape
+    ph, pw = kh // 2, kw // 2
+    padded = np.pad(np.array(image), ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    out = np.zeros((b, n, h, w, c), np.float32)
+    for bi in range(b):
+        for ni in range(n):
+            k = np.array(kernels)[bi, :, :, ni]
+            for y in range(h):
+                for x in range(w):
+                    patch = padded[bi, y : y + kh, x : x + kw, :]
+                    out[bi, ni, y, x, :] = np.tensordot(k, patch, axes=([0, 1], [0, 1]))
+    return out
+
+
+class TestCDNA:
+    def test_identity_kernel_reproduces_image(self):
+        img = jax.random.uniform(jax.random.PRNGKey(0), (2, 8, 8, 3))
+        k = ops.identity_kernel(5)
+        kernels = jnp.tile(k[None, :, :, None], (2, 1, 1, 1))
+        out = ops.apply_cdna_kernels(img, kernels)
+        assert out.shape == (2, 1, 8, 8, 3)
+        np.testing.assert_allclose(np.array(out[:, 0]), np.array(img), atol=1e-6)
+
+    def test_cdna_matches_naive_loop(self):
+        rng = jax.random.PRNGKey(3)
+        img = jax.random.uniform(rng, (2, 6, 7, 3))
+        kernels = jax.random.uniform(jax.random.PRNGKey(4), (2, 3, 3, 4))
+        kernels = ops.normalize_kernels(kernels, "softmax")
+        out = ops.apply_cdna_kernels(img, kernels)
+        ref = _naive_cdna(img, kernels)
+        np.testing.assert_allclose(np.array(out), ref, atol=1e-5)
+
+    def test_dna_matches_naive(self):
+        b, h, w, c, kk, n = 2, 5, 5, 2, 3, 2
+        img = jax.random.uniform(jax.random.PRNGKey(0), (b, h, w, c))
+        kernels = jax.random.uniform(jax.random.PRNGKey(1), (b, h, w, kk, kk, n))
+        kernels = kernels / jnp.sum(kernels, axis=(3, 4), keepdims=True)
+        out = ops.apply_dna_kernels(img, kernels)
+        assert out.shape == (b, n, h, w, c)
+        # naive
+        ph = kk // 2
+        padded = np.pad(np.array(img), ((0, 0), (ph, ph), (ph, ph), (0, 0)))
+        ref = np.zeros((b, n, h, w, c), np.float32)
+        kn = np.array(kernels)
+        for bi in range(b):
+            for ni in range(n):
+                for y in range(h):
+                    for x in range(w):
+                        patch = padded[bi, y : y + kk, x : x + kk, :]
+                        ref[bi, ni, y, x] = np.tensordot(kn[bi, y, x, :, :, ni], patch, axes=([0, 1], [0, 1]))
+        np.testing.assert_allclose(np.array(out), ref, atol=1e-5)
+
+    def test_normalize_kernels_sums_to_one(self):
+        kernels = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 5, 4))
+        for method in ["softmax", "relu"]:
+            nk = ops.normalize_kernels(kernels, method)
+            sums = np.array(jnp.sum(nk, axis=(1, 2)))
+            np.testing.assert_allclose(sums, 1.0, atol=1e-5)
+
+    def test_apply_kernels_dispatch(self):
+        img = jnp.ones((1, 4, 4, 1))
+        cdna = jnp.ones((1, 3, 3, 2)) / 9.0
+        dna = jnp.ones((1, 4, 4, 3, 3, 1)) / 9.0
+        assert ops.cdna.apply_kernels(img, cdna).shape == (1, 2, 4, 4, 1)
+        assert ops.cdna.apply_kernels(img, dna).shape == (1, 1, 4, 4, 1)
+
+
+class TestWarp:
+    def test_zero_flow_is_identity(self):
+        img = jax.random.uniform(jax.random.PRNGKey(0), (2, 8, 8, 3))
+        flow = jnp.zeros((2, 8, 8, 2))
+        out = ops.image_warp(img, flow)
+        np.testing.assert_allclose(np.array(out), np.array(img), atol=1e-6)
+
+    def test_integer_shift(self):
+        img = jnp.arange(16.0).reshape(1, 4, 4, 1)
+        # flow of (dy=1, dx=0) means output[y,x] = image[y-1, x]
+        flow = jnp.ones((1, 4, 4, 2)) * jnp.array([1.0, 0.0])
+        out = np.array(ops.image_warp(img, flow))[0, :, :, 0]
+        ref = np.array(img)[0, :, :, 0]
+        np.testing.assert_allclose(out[1:], ref[:-1], atol=1e-5)
+
+    def test_subpixel_interpolation(self):
+        img = jnp.arange(4.0).reshape(1, 1, 4, 1)
+        img = jnp.tile(img, (1, 4, 1, 1))
+        flow = jnp.ones((1, 4, 4, 2)) * jnp.array([0.0, 0.5])
+        out = np.array(ops.image_warp(img, flow))[0, 0, :, 0]
+        # out[x] = img[x - 0.5] = 0.5*(img[x-1]+img[x]) for interior
+        np.testing.assert_allclose(out[1:], [0.5, 1.5, 2.5], atol=1e-5)

@@ -1,0 +1,21 @@
+"""TPU-native stochastic video prediction framework.
+
+A ground-up JAX/Flax/Pallas rebuild of the capability surface of
+``alexlee-gk/video_prediction`` (SAVP, arXiv:1804.01523):
+
+- ConvLSTM encoder-decoder generators with CDNA/DNA/SNA/flow transformation
+  kernels, background compositing, and scheduled sampling
+  (reference: ``video_prediction/models/savp_model.py``).
+- Deterministic / VAE / GAN / VAE-GAN (SAVP) training objectives
+  (reference: ``video_prediction/models/base_model.py``).
+- TFRecord video datasets (BAIR push, KTH, ...) with a double-buffered
+  host->device feed (reference: ``video_prediction/datasets/``).
+- Per-frame PSNR/SSIM/VGG-cosine evaluation
+  (reference: ``video_prediction/metrics.py``, ``scripts/evaluate.py``).
+
+Design: pure-functional compute under ``jax.jit``; time iterated on-device
+with ``lax.scan``; data parallelism via ``jax.sharding`` over a device mesh
+(collectives compiled by XLA over ICI); hot ops as Pallas TPU kernels.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,227 @@
+"""Hyperparameter system: dataclasses + JSON zoo + ``k=v`` override strings.
+
+Mirrors the reference's three-tier merge (``models/base_model.py#
+get_default_hparams_dict`` -> ``--model_hparams_dict`` JSON file ->
+``--model_hparams`` comma-separated string parsed by
+``tf.contrib.training.HParams.parse``): model-class defaults, then a JSON
+file from the ``hparams/<dataset>/<variant>/`` zoo, then CLI overrides.
+
+Types are validated against the dataclass field; list-valued fields accept
+both JSON lists and the reference's ``[a, b]`` string syntax.
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Dict, Tuple
+
+
+@dataclasses.dataclass
+class ModelHparams:
+    """Union of the base-model and SAVP-family hyperparameters.
+
+    Field names follow the reference hparams zoo
+    (``hparams/<dataset>/<variant>/model_hparams.json``) so configs are
+    drop-in readable. Reference anchors: ``models/base_model.py#
+    VideoPredictionModel.get_default_hparams_dict`` and
+    ``models/savp_model.py#SAVPVideoPredictionModel.get_default_hparams_dict``.
+    """
+
+    # --- sequence structure ---
+    context_frames: int = 2
+    sequence_length: int = 12
+    # --- optimization (base_model) ---
+    batch_size: int = 16
+    lr: float = 0.001
+    end_lr: float = 0.0
+    decay_steps: Tuple[int, int] = (200000, 300000)
+    beta1: float = 0.9
+    beta2: float = 0.999
+    max_steps: int = 300000
+    # --- reconstruction losses ---
+    l1_weight: float = 0.0
+    l2_weight: float = 0.0
+    vgg_cdist_weight: float = 0.0
+    state_weight: float = 0.0
+    tv_weight: float = 0.0
+    # --- GAN losses ---
+    gan_loss_type: str = "LSGAN"
+    image_sn_gan_weight: float = 0.0
+    image_sn_vae_gan_weight: float = 0.0
+    video_sn_gan_weight: float = 0.0
+    video_sn_vae_gan_weight: float = 0.0
+    gan_feature_l2_weight: float = 0.0
+    vae_gan_feature_l2_weight: float = 0.0
+    clip_length: int = 10
+    ndf: int = 32
+    # --- VAE losses / latent ---
+    kl_weight: float = 0.0
+    kl_anneal: str = "linear"  # none | sigmoid | linear
+    kl_anneal_k: float = -1.0
+    kl_anneal_steps: Tuple[int, int] = (50000, 100000)
+    z_l1_weight: float = 0.0
+    nz: int = 8
+    nef: int = 64
+    learn_prior: bool = False
+    # --- generator architecture (savp_model) ---
+    ngf: int = 32
+    downsample_layer: str = "conv_pool2d"
+    upsample_layer: str = "upsample_conv2d"
+    norm_layer: str = "instance"
+    activation_layer: str = "relu"
+    conv_rnn: str = "lstm"  # lstm | gru
+    conv_rnn_norm: bool = True  # layer-norm inside the ConvLSTM cells
+    transformation: str = "cdna"  # cdna | dna | flow | direct
+    kernel_size: Tuple[int, int] = (5, 5)
+    num_transformed_images: int = 4
+    last_frames: int = 1
+    prev_image_background: bool = True
+    first_image_background: bool = True
+    generate_scratch_image: bool = True
+    dependent_mask: bool = True
+    where_add: str = "all"  # all | input | middle
+    # --- scheduled sampling ---
+    schedule_sampling: str = "inverse_sigmoid"  # none | inverse_sigmoid | linear
+    schedule_sampling_k: float = 900.0
+    schedule_sampling_steps: Tuple[int, int] = (0, 100000)
+    # --- action/state conditioning ---
+    use_states: bool = False
+    ablation_conv: bool = False
+    # --- numerics / memory ---
+    compute_dtype: str = "float32"  # float32 | bfloat16
+    # rematerialize the per-timestep generator cell in the backward pass:
+    # trades recompute FLOPs for not storing T-1 sets of activations in HBM
+    # (jax.checkpoint on the scanned cell; SURVEY §0 HBM-bandwidth guidance)
+    remat: bool = True
+
+    def replace(self, **kw) -> "ModelHparams":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+@dataclasses.dataclass
+class DatasetHparams:
+    """Dataset-side hyperparameters (reference ``datasets/base_dataset.py``)."""
+
+    context_frames: int = 2
+    sequence_length: int = 12
+    long_sequence_length: int = 30
+    time_shift: int = 1  # random temporal stride for slicing (train)
+    use_state: bool = False
+    shuffle_on_val: bool = False
+    crop_size: int = 0
+    scale_size: int = 0
+
+    def replace(self, **kw) -> "DatasetHparams":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def _coerce(value: Any, field_type: Any) -> Any:
+    """Coerce a parsed value to a dataclass field's type."""
+    origin = getattr(field_type, "__origin__", None)
+    if origin in (tuple, Tuple) or field_type in (tuple,):
+        return tuple(value)
+    if field_type is bool and isinstance(value, (int, str)):
+        if isinstance(value, str):
+            return value.lower() in ("true", "1", "yes")
+        return bool(value)
+    if field_type is float and isinstance(value, int):
+        return float(value)
+    return value
+
+
+def parse_overrides(spec: str) -> Dict[str, Any]:
+    """Parse ``"k1=v1,k2=v2"`` override strings (HParams.parse-compatible).
+
+    Values are python/JSON literals; bare words become strings. List values
+    may use ``[a, b]`` — commas inside brackets are handled.
+    """
+    out: Dict[str, Any] = {}
+    if not spec:
+        return out
+    # split on commas not inside brackets
+    items, depth, cur = [], 0, ""
+    for ch in spec:
+        if ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        items.append(cur)
+    for item in items:
+        if not item.strip():
+            continue
+        if "=" not in item:
+            raise ValueError(f"override {item!r} is not of the form key=value")
+        k, v = item.split("=", 1)
+        k, v = k.strip(), v.strip()
+        try:
+            out[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            out[k] = v  # bare string
+    return out
+
+
+def apply_overrides(hparams, overrides: Dict[str, Any]):
+    """Apply a dict of overrides to a dataclass instance with type coercion.
+
+    Unknown keys raise (same strictness as ``HParams.parse``).
+    """
+    fields = {f.name: f for f in dataclasses.fields(hparams)}
+    kw = {}
+    for k, v in overrides.items():
+        if k not in fields:
+            raise ValueError(
+                f"unknown hparam {k!r} for {type(hparams).__name__}; known: {sorted(fields)}"
+            )
+        kw[k] = _coerce(v, fields[k].type_resolved if hasattr(fields[k], "type_resolved") else _resolve_type(fields[k]))
+    return hparams.replace(**kw)
+
+
+def _resolve_type(field: dataclasses.Field):
+    t = field.type
+    if isinstance(t, str):
+        # from __future__ annotations: resolve common cases
+        base = t.split("[")[0]
+        return {"int": int, "float": float, "bool": bool, "str": str, "Tuple": tuple, "tuple": tuple}.get(base, str)
+    return t
+
+
+def load_hparams_json(path: str | Path) -> Dict[str, Any]:
+    with open(path) as f:
+        return json.load(f)
+
+
+def zoo_dir() -> Path:
+    """Root of the bundled hparams zoo (mirrors reference ``hparams/``)."""
+    return Path(__file__).resolve().parent.parent.parent / "hparams"
+
+
+def resolve_model_hparams(
+    defaults: ModelHparams,
+    hparams_dict_path: str | None = None,
+    hparams_str: str | None = None,
+    extra: Dict[str, Any] | None = None,
+) -> ModelHparams:
+    """Three-tier merge: defaults -> JSON file -> override string -> extra."""
+    hp = defaults
+    if hparams_dict_path:
+        hp = apply_overrides(hp, load_hparams_json(hparams_dict_path))
+    if hparams_str:
+        hp = apply_overrides(hp, parse_overrides(hparams_str))
+    if extra:
+        hp = apply_overrides(hp, extra)
+    return hp

@@ -1,0 +1,182 @@
+"""Dataset base classes: TFRecord video pipelines -> numpy batches.
+
+TPU-native counterpart of the reference's ``video_prediction/datasets/
+base_dataset.py`` (``BaseVideoDataset`` / ``VideoDataset``): parse ->
+decode -> random temporal slice -> normalize -> shuffle/repeat -> batch ->
+prefetch. TensorFlow is used CPU-side *only* as a TFRecord reader (same
+role as in the reference); arrays cross into JAX as numpy via
+``make_iterator`` and are device-put by ``data/loader.py`` with the mesh
+sharding (the double-buffered host feed of SURVEY §7).
+
+TF import is lazy so the rest of the framework works without TF installed.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import random
+from typing import Any, Dict, Iterator, Optional
+
+import numpy as np
+
+from video_prediction_tpu.configs.hparams import DatasetHparams
+
+
+def _tf():
+    import tensorflow as tf
+
+    tf.config.set_visible_devices([], "GPU")
+    return tf
+
+
+class BaseVideoDataset:
+    """API mirror of the reference's ``BaseVideoDataset``:
+    ``__init__(input_dir, mode, hparams)``, ``make_batch``/``make_iterator``,
+    ``num_examples_per_epoch``."""
+
+    # subclasses override
+    default_hparams = DatasetHparams()
+
+    def __init__(
+        self,
+        input_dir: str,
+        mode: str = "train",
+        hparams: Optional[DatasetHparams] = None,
+        seed: Optional[int] = None,
+    ):
+        self.input_dir = input_dir
+        self.mode = mode
+        self.hparams = hparams or self.default_hparams
+        self.seed = seed
+
+        self.filenames = sorted(
+            glob.glob(os.path.join(input_dir, "*.tfrecord*"))
+            + glob.glob(os.path.join(input_dir, "*.tfrecords"))
+        )
+
+    # ------------------------------------------------------------------ #
+    def num_examples_per_epoch(self) -> int:
+        """Count records (cached). Reference: per-dataset overrides."""
+        if not hasattr(self, "_num_examples"):
+            tf = _tf()
+            n = 0
+            for f in self.filenames:
+                n += sum(1 for _ in tf.data.TFRecordDataset(f))
+            self._num_examples = n
+        return self._num_examples
+
+    def parser(self, serialized) -> Dict[str, Any]:
+        """Parse one serialized example to ``{images [T,H,W,C] float32, ...}``."""
+        raise NotImplementedError
+
+    @property
+    def source_sequence_length(self) -> int:
+        """Frames stored per record (the slice window comes from hparams)."""
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------ #
+    def _slice_sequences(self, example: Dict[str, Any]):
+        """Random (train) / deterministic (eval) temporal window of
+        ``hparams.sequence_length`` frames (reference ``slice_sequences``)."""
+        tf = _tf()
+        hp = self.hparams
+        source_len = self.source_sequence_length
+        seq_len = hp.sequence_length
+        if seq_len > source_len:
+            raise ValueError(f"sequence_length {seq_len} > stored length {source_len}")
+        max_off = source_len - seq_len
+        if self.mode == "train" and max_off > 0:
+            off = tf.random.uniform((), 0, max_off + 1, dtype=tf.int32)
+        else:
+            off = 0
+        out = {}
+        for k, v in example.items():
+            out[k] = v[off : off + seq_len]
+        return out
+
+    def make_dataset(self, batch_size: int):
+        tf = _tf()
+        if not self.filenames:
+            raise FileNotFoundError(f"no tfrecords under {self.input_dir!r}")
+        shuffle = self.mode == "train" or (self.mode == "val" and self.hparams.shuffle_on_val)
+        files = list(self.filenames)
+        if shuffle:
+            random.Random(self.seed).shuffle(files)
+        ds = tf.data.TFRecordDataset(files, buffer_size=8 * 1024 * 1024)
+        if shuffle:
+            ds = ds.apply(tf.data.experimental.shuffle_and_repeat(buffer_size=1024, seed=self.seed))
+        else:
+            ds = ds.repeat()
+        ds = ds.map(
+            lambda s: self._slice_sequences(self.parser(s)),
+            num_parallel_calls=tf.data.AUTOTUNE,
+        )
+        ds = ds.batch(batch_size, drop_remainder=True)
+        ds = ds.prefetch(tf.data.AUTOTUNE)
+        return ds
+
+    # reference name parity
+    def make_batch(self, batch_size: int):
+        return self.make_dataset(batch_size)
+
+    def make_iterator(self, batch_size: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Infinite numpy-batch iterator."""
+        for batch in self.make_dataset(batch_size).as_numpy_iterator():
+            yield batch
+
+
+class VideoDataset(BaseVideoDataset):
+    """TFRecord datasets with per-frame feature keys like
+    ``"%d/image_aux1/encoded"`` (the BAIR/softmotion family layout).
+
+    Subclasses configure class attrs instead of rewriting the parser —
+    the single choke point the reference spreads across per-dataset files.
+    """
+
+    # class attrs overridden by subclasses
+    IMAGE_KEY = "%d/image_aux1/encoded"
+    IMAGE_SHAPE = (64, 64, 3)  # H, W, C
+    IMAGE_ENCODING = "raw"  # raw | jpeg | png
+    ACTION_KEY: Optional[str] = "%d/action"
+    ACTION_DIM = 4
+    STATE_KEY: Optional[str] = "%d/endeffector_pos"
+    STATE_DIM = 3
+    SOURCE_SEQUENCE_LENGTH = 30
+
+    @property
+    def source_sequence_length(self) -> int:
+        return self.SOURCE_SEQUENCE_LENGTH
+
+    def parser(self, serialized):
+        tf = _tf()
+        T = self.SOURCE_SEQUENCE_LENGTH
+        h, w, c = self.IMAGE_SHAPE
+        features: Dict[str, Any] = {}
+        for i in range(T):
+            features[self.IMAGE_KEY % i] = tf.io.FixedLenFeature([], tf.string)
+            if self.ACTION_KEY and self.hparams.use_state:
+                features[self.ACTION_KEY % i] = tf.io.FixedLenFeature([self.ACTION_DIM], tf.float32)
+            if self.STATE_KEY and self.hparams.use_state:
+                features[self.STATE_KEY % i] = tf.io.FixedLenFeature([self.STATE_DIM], tf.float32)
+        parsed = tf.io.parse_single_example(serialized, features)
+
+        frames = []
+        for i in range(T):
+            raw = parsed[self.IMAGE_KEY % i]
+            if self.IMAGE_ENCODING == "raw":
+                img = tf.reshape(tf.io.decode_raw(raw, tf.uint8), [h, w, c])
+            elif self.IMAGE_ENCODING in ("jpeg", "png"):
+                img = tf.image.decode_image(raw, channels=c, expand_animations=False)
+                img = tf.reshape(img, [h, w, c])
+            else:
+                raise ValueError(self.IMAGE_ENCODING)
+            frames.append(img)
+        images = tf.cast(tf.stack(frames), tf.float32) / 255.0
+
+        out = {"images": images}
+        if self.ACTION_KEY and self.hparams.use_state:
+            out["actions"] = tf.stack([parsed[self.ACTION_KEY % i] for i in range(T)])
+        if self.STATE_KEY and self.hparams.use_state:
+            out["states"] = tf.stack([parsed[self.STATE_KEY % i] for i in range(T)])
+        return out

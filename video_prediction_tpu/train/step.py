@@ -1,0 +1,105 @@
+"""Jitted train/eval steps with data-parallel sharding.
+
+The single jitted train step replaces the reference's per-``sess.run``
+fetch machinery (``scripts/train.py`` loop + ``base_model.py`` tower split
+and gradient averaging): G and D are updated jointly from one backward pass
+(stop-gradients in ``compute_losses`` route each loss to its own params,
+matching the reference's joint optimization in a single ``sess.run``), and
+the cross-device gradient mean is a ``psum`` XLA inserts from the shardings.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from video_prediction_tpu.train.state import TrainState, make_optimizers, split_params
+
+
+def make_train_step(model, mesh: Optional[Mesh] = None, donate: bool = True):
+    """Build the jitted train step for ``model``.
+
+    With ``mesh``, the batch is sharded over the ``data`` axis and
+    state/params are replicated; XLA emits the gradient all-reduce over ICI.
+    """
+    tx_g, tx_d = make_optimizers(model.hparams)
+
+    def train_step(ts: TrainState, batch: Dict[str, jax.Array]):
+        rng = jax.random.fold_in(ts.rng, ts.step)
+
+        def loss_fn(params):
+            total, aux = model.compute_losses(
+                params, ts.model_state, batch, rng, ts.step, train=True
+            )
+            return total, aux
+
+        grads, aux = jax.grad(loss_fn, has_aux=True)(ts.params)
+
+        grads_g, grads_d = split_params(grads)
+        params_g, params_d = split_params(ts.params)
+
+        new_params = dict(ts.params)
+        if params_g:
+            updates_g, opt_g = tx_g.update(grads_g, ts.opt_state_g, params_g)
+            new_params.update(optax.apply_updates(params_g, updates_g))
+        else:
+            opt_g = ts.opt_state_g
+        if params_d:
+            updates_d, opt_d = tx_d.update(grads_d, ts.opt_state_d, params_d)
+            new_params.update(optax.apply_updates(params_d, updates_d))
+        else:
+            opt_d = ts.opt_state_d
+
+        new_model_state = aux["new_state"] if aux["new_state"] else ts.model_state
+
+        new_ts = TrainState(
+            step=ts.step + 1,
+            params=new_params,
+            model_state=new_model_state,
+            opt_state_g=opt_g,
+            opt_state_d=opt_d,
+            rng=ts.rng,
+        )
+        scalars = {
+            "g_loss": aux["g_loss"],
+            "d_loss": aux["d_loss"],
+            **{f"g/{k}": v for k, v in aux["g_losses"].items()},
+            **{f"d/{k}": v for k, v in aux["d_losses"].items()},
+        }
+        return new_ts, scalars
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(model, mesh: Optional[Mesh] = None):
+    """Jitted eval step: prior-sampled rollout + per-frame metrics."""
+
+    def eval_step(params: Dict[str, Any], batch: Dict[str, jax.Array], rng: jax.Array):
+        out = model.forward(params, batch, rng, jnp.zeros((), jnp.int32), train=False)
+        metrics = model.metrics_fn(out, batch)
+        return out["gen_images"], metrics
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        eval_step,
+        in_shardings=(repl, data, repl),
+        out_shardings=(data, repl),
+    )
