@@ -42,6 +42,12 @@ def parse_args(argv=None):
     p.add_argument("--fps", type=int, default=4)
     p.add_argument("--only_metrics", action="store_true")
     p.add_argument("--seed", type=int, default=7)
+    p.add_argument(
+        "--vgg_weights_path",
+        default="",
+        help="VGG16 .npz (see models/vgg.py); enables the per-frame VGG "
+        "cosine-similarity metric (reference metrics.py vgg_csim)",
+    )
     return p.parse_args(argv)
 
 
@@ -102,9 +108,16 @@ def main(argv=None):
     os.makedirs(results_dir, exist_ok=True)
     html = None if args.only_metrics else HTML(results_dir, title=f"{dataset_name}/{model_name}")
 
+    vgg = None
+    if args.vgg_weights_path:
+        from video_prediction_tpu.models.vgg import VGGMetric
+
+        vgg = VGGMetric(weights_path=args.vgg_weights_path)
+
     ctx = hp.context_frames
-    all_metrics = {"psnr": [], "ssim": []}  # best-of-N, per example per frame
-    all_metrics_avg = {"psnr": [], "ssim": []}
+    metric_names = ["psnr", "ssim"] + (["vgg_csim"] if vgg is not None else [])
+    all_metrics = {m: [] for m in metric_names}  # best-of-N, per example per frame
+    all_metrics_avg = {m: [] for m in metric_names}
     it = dataset.make_iterator(args.batch_size)
     n_done = 0
     sample_idx = 0
@@ -113,21 +126,23 @@ def main(argv=None):
         images = batch["images"]
         target = images[:, ctx:]
         # [S, B, Tp] metric stacks over stochastic samples
-        psnr_s, ssim_s, gens = [], [], []
+        stacks = {m: [] for m in metric_names}
+        gens = []
         for s in range(args.num_stochastic_samples):
             gen = rollout(params, batch, jax.random.fold_in(rng, sample_idx * 1000 + s))
             gen = np.asarray(jax.device_get(gen))
             pred = gen[:, ctx - 1 :]
-            psnr_s.append(np.asarray(M.peak_signal_to_noise_ratio(target, pred)))
-            ssim_s.append(np.asarray(M.structural_similarity(target, pred)))
+            stacks["psnr"].append(np.asarray(M.peak_signal_to_noise_ratio(target, pred)))
+            stacks["ssim"].append(np.asarray(M.structural_similarity(target, pred)))
+            if vgg is not None:
+                stacks["vgg_csim"].append(np.asarray(vgg(target, pred)))
             gens.append(gen)
-        psnr_s = np.stack(psnr_s)  # [S,B,Tp]
-        ssim_s = np.stack(ssim_s)
+        stacks = {m: np.stack(v) for m, v in stacks.items()}  # [S,B,Tp]
+        psnr_s = stacks["psnr"]
         # reductions over samples (reference: "max" best-of-N and mean)
-        all_metrics["psnr"].append(psnr_s.max(axis=0))
-        all_metrics["ssim"].append(ssim_s.max(axis=0))
-        all_metrics_avg["psnr"].append(psnr_s.mean(axis=0))
-        all_metrics_avg["ssim"].append(ssim_s.mean(axis=0))
+        for m in metric_names:
+            all_metrics[m].append(stacks[m].max(axis=0))
+            all_metrics_avg[m].append(stacks[m].mean(axis=0))
 
         if html is not None:
             best = psnr_s.mean(axis=-1).argmax(axis=0)  # [B] best sample per example

@@ -166,3 +166,17 @@ class TestDeviceFeeder:
         batch = next(feeder)
         assert batch["images"].sharding.num_devices == jax.device_count()
         feeder.close()
+
+
+class TestTimeShift:
+    def test_stride_subsampling(self, tmp_path):
+        d = tmp_path / "bair2" / "train"
+        d.mkdir(parents=True)
+        truth = write_bair_fixture(str(d / "t.tfrecord"), num_examples=1)
+        cls = get_dataset_class("bair")
+        hp = DatasetHparams(sequence_length=10, time_shift=3)
+        ds = _patched(cls)(str(d), mode="test", hparams=hp)
+        batch = next(ds.make_iterator(1))
+        assert batch["images"].shape == (1, 10, 8, 8, 3)
+        expected = truth[0][0:28:3].astype(np.float32) / 255.0
+        np.testing.assert_allclose(batch["images"][0], expected)

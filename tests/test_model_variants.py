@@ -1,0 +1,146 @@
+"""Generator-variant coverage: flow transformation, action/state
+conditioning, where_add placements, GRU cells, bf16 compute."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_prediction_tpu.configs.hparams import ModelHparams
+from video_prediction_tpu.models import get_model_class
+from video_prediction_tpu.train import create_train_state, make_train_step
+
+B, T, H, W, C = 2, 4, 16, 16, 3
+
+
+def hp(**kw):
+    base = dict(
+        context_frames=2, sequence_length=T, ngf=4, ndf=4, nef=8,
+        l1_weight=1.0, nz=0, num_transformed_images=2, conv_rnn_norm=False,
+        clip_length=3,
+    )
+    base.update(kw)
+    return ModelHparams(**base)
+
+
+def batch(with_actions=False, with_states=False):
+    rng = jax.random.PRNGKey(0)
+    out = {"images": jax.random.uniform(rng, (B, T, H, W, C))}
+    if with_actions:
+        out["actions"] = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 4))
+    if with_states:
+        out["states"] = jax.random.uniform(jax.random.PRNGKey(2), (B, T, 3))
+    return out
+
+
+class TestTransformations:
+    @pytest.mark.parametrize("transformation", ["flow", "dna", "direct"])
+    def test_variant_trains(self, transformation):
+        n = 0 if transformation in ("dna", "direct") else 2
+        model = get_model_class("savp")(hp(transformation=transformation, num_transformed_images=n))
+        b = batch()
+        ts = create_train_state(model, jax.random.PRNGKey(0), b)
+        step = make_train_step(model, donate=False)
+        ts, scalars = step(ts, b)
+        assert np.isfinite(float(scalars["g_loss"]))
+
+    def test_flow_outputs_flow_fields(self):
+        model = get_model_class("savp")(hp(transformation="flow"))
+        b = batch()
+        params, _ = model.init_variables(jax.random.PRNGKey(0), b)
+        out = model.generator.apply(
+            {"params": params["generator"]},
+            b["images"],
+            jnp.ones((T - 1, B), bool),
+            output_aux=True,
+        )
+        assert "flows" in out
+        assert out["flows"].shape == (B, T - 1, H, W, 2, 2)  # [.., 2, n_trans]
+
+
+class TestConditioning:
+    def test_actions_change_predictions(self):
+        model = get_model_class("savp")(hp())
+        b = batch(with_actions=True)
+        params, _ = model.init_variables(jax.random.PRNGKey(0), b)
+        step0 = jnp.zeros((), jnp.int32)
+        out1 = model.forward(params, b, jax.random.PRNGKey(1), step0, train=False)
+        b2 = dict(b)
+        b2["actions"] = b["actions"] + 1.0
+        out2 = model.forward(params, b2, jax.random.PRNGKey(1), step0, train=False)
+        assert not np.allclose(np.asarray(out1["gen_images"]), np.asarray(out2["gen_images"]))
+
+    def test_state_head_and_loss(self):
+        model = get_model_class("savp")(hp(use_states=True, state_weight=1e-4))
+        b = batch(with_actions=True, with_states=True)
+        params, state = model.init_variables(jax.random.PRNGKey(0), b)
+        total, aux = model.compute_losses(params, state, b, jax.random.PRNGKey(1), jnp.zeros((), jnp.int32))
+        assert "state" in aux["g_losses"]
+        assert aux["outputs"]["gen_states"].shape == (B, T - 1, 3)
+
+
+class TestArchVariants:
+    def test_where_add_placements(self):
+        for where in ["all", "input", "middle"]:
+            model = get_model_class("savp")(hp(nz=4, kl_weight=0.1, where_add=where))
+            b = batch()
+            params, _ = model.init_variables(jax.random.PRNGKey(0), b)
+            out = model.forward(params, b, jax.random.PRNGKey(1), jnp.zeros((), jnp.int32), train=True)
+            assert out["gen_images_enc"].shape == (B, T - 1, H, W, C)
+
+    def test_gru_cell(self):
+        model = get_model_class("savp")(hp(conv_rnn="gru"))
+        b = batch()
+        ts = create_train_state(model, jax.random.PRNGKey(0), b)
+        step = make_train_step(model, donate=False)
+        ts, scalars = step(ts, b)
+        assert np.isfinite(float(scalars["g_loss"]))
+
+    def test_bfloat16_compute(self):
+        model = get_model_class("savp")(hp(compute_dtype="bfloat16"))
+        b = batch()
+        ts = create_train_state(model, jax.random.PRNGKey(0), b)
+        step = make_train_step(model, donate=False)
+        ts, scalars = step(ts, b)
+        assert np.isfinite(float(scalars["g_loss"]))
+        # params stay fp32
+        leaf = jax.tree_util.tree_leaves(ts.params["generator"])[0]
+        assert leaf.dtype == jnp.float32
+
+    def test_deconv_upsample_and_strided_downsample(self):
+        model = get_model_class("savp")(
+            hp(upsample_layer="deconv2d", downsample_layer="conv2d", norm_layer="layer")
+        )
+        b = batch()
+        ts = create_train_state(model, jax.random.PRNGKey(0), b)
+        step = make_train_step(model, donate=False)
+        ts, scalars = step(ts, b)
+        assert np.isfinite(float(scalars["g_loss"]))
+
+
+class TestExtendedLosses:
+    def test_z_l1_latent_cycle(self):
+        model = get_model_class("savp")(hp(nz=4, kl_weight=0.1, z_l1_weight=0.5))
+        b = batch()
+        params, state = model.init_variables(jax.random.PRNGKey(0), b)
+        total, aux = model.compute_losses(params, state, b, jax.random.PRNGKey(1), jnp.zeros((), jnp.int32))
+        assert "z_l1" in aux["g_losses"]
+        assert np.isfinite(float(total))
+
+    def test_learn_initial_state_adds_params_and_trains(self):
+        model = get_model_class("savp")(hp(learn_initial_state=True))
+        b = batch()
+        ts = create_train_state(model, jax.random.PRNGKey(0), b)
+        names = " ".join(ts.params["generator"].keys())
+        assert "init_state_0" in names
+        step = make_train_step(model, donate=False)
+        ts1, _ = step(ts, b)
+        ts2, _ = step(ts1, b)
+        # learned init states receive gradients
+        a = np.asarray(ts.params["generator"]["init_state_0"])
+        c = np.asarray(ts2.params["generator"]["init_state_0"])
+        assert not np.allclose(a, c)
+
+    def test_vgg_cdist_requires_weights(self):
+        with pytest.raises(FileNotFoundError):
+            get_model_class("savp")(hp(vgg_cdist_weight=1.0))

@@ -83,16 +83,21 @@ class BaseVideoDataset:
         hp = self.hparams
         source_len = self.source_sequence_length
         seq_len = hp.sequence_length
-        if seq_len > source_len:
-            raise ValueError(f"sequence_length {seq_len} > stored length {source_len}")
-        max_off = source_len - seq_len
+        stride = max(hp.time_shift, 1)  # temporal subsample stride
+        span = (seq_len - 1) * stride + 1
+        if span > source_len:
+            raise ValueError(
+                f"sequence_length {seq_len} x time_shift {stride} needs {span} frames "
+                f"> stored length {source_len}"
+            )
+        max_off = source_len - span
         if self.mode == "train" and max_off > 0:
             off = tf.random.uniform((), 0, max_off + 1, dtype=tf.int32)
         else:
             off = 0
         out = {}
         for k, v in example.items():
-            out[k] = v[off : off + seq_len]
+            out[k] = v[off : off + span : stride]
         return out
 
     def make_dataset(self, batch_size: int):

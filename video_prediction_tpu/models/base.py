@@ -75,6 +75,13 @@ class VideoPredictionModel:
             self.discriminators["image"] = ImageSNDiscriminator(ndf=hp.ndf, dtype=dtype)
         if hp.video_sn_gan_weight or hp.video_sn_vae_gan_weight:
             self.discriminators["video"] = VideoSNDiscriminator(ndf=hp.ndf, dtype=dtype)
+        self.vgg = None
+        if hp.vgg_cdist_weight:
+            # training-time perceptual loss needs real VGG weights
+            # (reference downloads them; this env gates on a local .npz)
+            from video_prediction_tpu.models.vgg import VGGMetric
+
+            self.vgg = VGGMetric(weights_path=hp.vgg_weights_path or None)
 
     # ------------------------------------------------------------------ #
     # hparams
@@ -217,10 +224,13 @@ class VideoPredictionModel:
             mu_p = jnp.zeros_like(mu_q)
             logvar_p = jnp.zeros_like(logvar_q)
         z_p = mu_p + jnp.exp(0.5 * logvar_p) * jax.random.normal(rng_p, mu_p.shape)
+        out["zs_sampled_prior"] = z_p
 
-        need_prior_rollout = (not train) or any(
-            self._gan_weight(d) > 0 for d in self.discriminators
-        ) or not train
+        need_prior_rollout = (
+            (not train)
+            or any(self._gan_weight(d) > 0 for d in self.discriminators)
+            or hp.z_l1_weight > 0
+        )
         need_post_rollout = train
 
         if need_prior_rollout and need_post_rollout:
@@ -238,6 +248,7 @@ class VideoPredictionModel:
             for k, v in gout.items():
                 out[k] = v[:b]
                 out[k + "_enc"] = v[b:]
+            out["_prior_rollout"] = True
         elif need_post_rollout:
             gout = self.generator.apply(
                 {"params": params["generator"]}, images, use_gt, zs=z_q, output_aux=output_aux, **gen_kwargs
@@ -251,6 +262,7 @@ class VideoPredictionModel:
                 {"params": params["generator"]}, images, use_gt, zs=z_p, output_aux=output_aux, **gen_kwargs
             )
             out.update(gout)
+            out["_prior_rollout"] = True
         return out
 
     # ------------------------------------------------------------------ #
@@ -329,6 +341,12 @@ class VideoPredictionModel:
             g_losses["state"] = hp.state_weight * L.l2_loss(
                 out.get("gen_states_enc", out["gen_states"]), batch["states"][:, 1:]
             )
+        if hp.vgg_cdist_weight and self.vgg is not None:
+            # perceptual cosine *distance* on the reconstruction rollout
+            # (reference ``vgg_cdist_weight``); differentiable through the
+            # frozen VGG features
+            csim = self.vgg._csim(recon_images, target)
+            g_losses["vgg_cdist"] = hp.vgg_cdist_weight * jnp.mean(1.0 - csim)
         if self.has_vae and hp.kl_weight:
             anneal = schedules.kl_weight(step, hp)
             g_losses["kl"] = hp.kl_weight * anneal * L.kl_loss(
@@ -337,6 +355,14 @@ class VideoPredictionModel:
                 out.get("prior_mu"),
                 out.get("prior_logvar"),
             )
+        if self.has_vae and hp.z_l1_weight and out.get("_prior_rollout"):
+            # latent cycle loss (BicycleGAN-style, reference ``z_l1_weight``):
+            # the prior-sampled rollout must be re-encodable to the z it used.
+            # Re-encode adjacent generated frames (first frame = GT frame 0)
+            # with the posterior and L1 against the z that generated them.
+            gen_seq = jnp.concatenate([batch["images"][:, :1], out["gen_images"]], axis=1)
+            mu_hat, _ = self.posterior.apply({"params": params["posterior"]}, gen_seq)
+            g_losses["z_l1"] = hp.z_l1_weight * L.l1_loss(mu_hat, out["zs_sampled_prior"])
 
         new_spectral = dict(state.get("spectral", {}))
         if self.discriminators and train:

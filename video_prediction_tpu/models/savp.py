@@ -268,6 +268,22 @@ class SAVPGenerator(nn.Module):
         cell = SAVPCell(hparams=hp, num_scales=num_scales, dtype=self.dtype)
 
         rnn_states = cell.init_rnn_states(b, hgt, wid, self.dtype or images.dtype)
+        if hp.learn_initial_state:
+            # learned init states (reference ``learn_initial_state`` hparam):
+            # one [1,h,w,f] param per state leaf, broadcast over batch
+            def learned(i, leaf):
+                p = self.param(
+                    f"init_state_{i}",
+                    nn.initializers.zeros,
+                    (1,) + leaf.shape[1:],
+                    jnp.float32,
+                )
+                return jnp.broadcast_to(p.astype(leaf.dtype), leaf.shape)
+
+            flat, treedef = jax.tree_util.tree_flatten(rnn_states)
+            rnn_states = jax.tree_util.tree_unflatten(
+                treedef, [learned(i, leaf) for i, leaf in enumerate(flat)]
+            )
         last_images0 = jnp.repeat(images[:, :1], hp.last_frames, axis=1)
         carry0 = (rnn_states, images[:, 0], last_images0)
 
