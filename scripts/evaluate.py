@@ -28,7 +28,12 @@ import json
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     p.add_argument("--input_dir", default="")
-    p.add_argument("--checkpoint", required=True, help="training output_dir to restore")
+    p.add_argument(
+        "--checkpoint",
+        default="",
+        help="training output_dir to restore; may be omitted for the "
+        "non-trainable baselines (--model ground_truth|repeat)",
+    )
     p.add_argument("--dataset", default="")
     p.add_argument("--dataset_hparams", default="")
     p.add_argument("--model", default="")
@@ -79,12 +84,22 @@ def main(argv=None):
 
     # ---- rebuild exactly what was trained (reference reads saved options) ----
     run_dir = args.checkpoint
-    with open(os.path.join(run_dir, "options.json")) as f:
-        options = json.load(f)
-    with open(os.path.join(run_dir, "model_hparams.json")) as f:
-        hp = apply_overrides(ModelHparams(), json.load(f))
-    with open(os.path.join(run_dir, "dataset_hparams.json")) as f:
-        dhp = apply_overrides(DatasetHparams(), json.load(f))
+    if run_dir:
+        with open(os.path.join(run_dir, "options.json")) as f:
+            options = json.load(f)
+        with open(os.path.join(run_dir, "model_hparams.json")) as f:
+            hp = apply_overrides(ModelHparams(), json.load(f))
+        with open(os.path.join(run_dir, "dataset_hparams.json")) as f:
+            dhp = apply_overrides(DatasetHparams(), json.load(f))
+    else:
+        # checkpoint-free path: the non-trainable baselines (ground_truth,
+        # repeat) evaluate straight from flags, like the reference
+        if not (args.model and args.dataset):
+            raise SystemExit("--checkpoint omitted: both --model and --dataset are required")
+        options = {"model": args.model, "dataset": args.dataset}
+        hp = get_model_class(args.model).default_hparams()
+        dhp = get_dataset_class(args.dataset).default_hparams
+        hp = hp.replace(context_frames=dhp.context_frames, sequence_length=dhp.sequence_length)
     model_name = args.model or options["model"]
     dataset_name = args.dataset or options["dataset"]
     if args.model_hparams:
@@ -100,6 +115,8 @@ def main(argv=None):
     batch0 = next(dataset.make_iterator(args.batch_size))
     params, _ = model.init_variables(rng, batch0)
     if model.generator is not None:
+        if not run_dir:
+            raise SystemExit(f"model {model_name!r} is trainable; --checkpoint is required")
         ckpt = CheckpointManager(os.path.join(run_dir, "checkpoints"))
         params = ckpt.restore_params(params)
         print(f"restored step {ckpt.latest_step()} from {run_dir}")
@@ -147,6 +164,8 @@ def main(argv=None):
     while n_done < args.num_samples:
         batch = next(it)
         images = batch["images"]
+        if images.dtype == np.uint8:  # datasets ship uint8; metrics want [0,1]
+            images = images.astype(np.float32) / 255.0
         target = images[:, ctx:]
         # [S, B, Tp] metric stacks over stochastic samples
         gens = rollout_samples(

@@ -64,7 +64,11 @@ def main(argv=None):
     from video_prediction_tpu.configs.hparams import apply_overrides, load_hparams_json, parse_overrides
     from video_prediction_tpu.data import DeviceFeeder, get_dataset_class
     from video_prediction_tpu.models import get_model_class
+    from video_prediction_tpu.parallel.distributed import maybe_initialize
     from video_prediction_tpu.parallel.mesh import mesh_for_batch
+
+    if maybe_initialize():
+        print(f"multi-host: process {jax.process_index()}/{jax.process_count()}")
     from video_prediction_tpu.train import create_train_state, make_eval_step, make_train_step
     from video_prediction_tpu.train.checkpoint import CheckpointManager
     from video_prediction_tpu.train.state import param_count
@@ -172,6 +176,8 @@ def main(argv=None):
     max_steps = hp.max_steps
     start_step = int(ts.step)
     t_last = time.time()
+    best_sps = 0.0
+    warned_slow = False
     frames_per_step = hp.batch_size * (hp.sequence_length - hp.context_frames)
     batch = example
     try:
@@ -193,6 +199,15 @@ def main(argv=None):
                     f"d_loss={float(scalars['d_loss']):.4f} "
                     f"steps/s={sps:.2f} frames/s={sps * frames_per_step:.0f}"
                 )
+                best_sps = max(best_sps, sps)
+                if sps < best_sps / 50 and not warned_slow:
+                    warned_slow = True
+                    print(
+                        "WARNING: step rate collapsed >50x vs this run's best — on "
+                        "tunneled single-chip runtimes this is a known sticky runtime "
+                        "mode (see ARCHITECTURE.md 'known env issues'); restarting "
+                        "the process with --resume recovers full speed."
+                    )
                 t_last = time.time()
             if args.summary_freq and (step + 1) % args.summary_freq == 0:
                 write_scalars(step + 1, {k: jax.device_get(v) for k, v in scalars.items()})

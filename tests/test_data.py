@@ -57,8 +57,9 @@ class TestBAIRPipeline:
         ds = _patched(cls)(d, mode="test", hparams=hp)
         batch = next(ds.make_iterator(2))
         assert batch["images"].shape == (2, 30, 8, 8, 3)
-        assert batch["images"].dtype == np.float32
-        np.testing.assert_allclose(batch["images"][0], truth[0].astype(np.float32) / 255.0)
+        # images ship uint8 (device normalizes); exact byte roundtrip
+        assert batch["images"].dtype == np.uint8
+        np.testing.assert_array_equal(batch["images"][0], truth[0])
 
     def test_temporal_slice(self, fixture_dir):
         d, truth = fixture_dir
@@ -67,7 +68,7 @@ class TestBAIRPipeline:
         ds = _patched(cls)(d, mode="test", hparams=hp)
         batch = next(ds.make_iterator(1))
         assert batch["images"].shape == (1, 12, 8, 8, 3)
-        np.testing.assert_allclose(batch["images"][0], truth[0][:12].astype(np.float32) / 255.0)
+        np.testing.assert_array_equal(batch["images"][0], truth[0][:12])
 
     def test_use_state_parses_actions(self, fixture_dir):
         d, _ = fixture_dir
@@ -123,7 +124,7 @@ class TestKTHConverterRoundtrip:
         batch = next(ds.make_iterator(1))
         assert batch["images"].shape == (1, 20, 64, 64, 3)
         # frame brightness increases monotonically in the fixture
-        means = batch["images"][0].mean(axis=(1, 2, 3))
+        means = batch["images"][0].astype(np.float32).mean(axis=(1, 2, 3))
         assert (np.diff(means) > 0).all()
 
 
@@ -141,7 +142,8 @@ class TestSynthetic:
     def test_motion_present(self):
         ds = get_dataset_class("synthetic")(mode="train")
         b = next(ds.make_iterator(1))
-        assert float(np.abs(b["images"][0, 1] - b["images"][0, 0]).sum()) > 0
+        a = b["images"].astype(np.int32)
+        assert int(np.abs(a[0, 1] - a[0, 0]).sum()) > 0
 
 
 class TestDeviceFeeder:
@@ -178,5 +180,4 @@ class TestTimeShift:
         ds = _patched(cls)(str(d), mode="test", hparams=hp)
         batch = next(ds.make_iterator(1))
         assert batch["images"].shape == (1, 10, 8, 8, 3)
-        expected = truth[0][0:28:3].astype(np.float32) / 255.0
-        np.testing.assert_allclose(batch["images"][0], expected)
+        np.testing.assert_array_equal(batch["images"][0], truth[0][0:28:3])

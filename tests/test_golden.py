@@ -1,0 +1,61 @@
+"""Golden regression tests (SURVEY §4 "Golden/parity"): fixed-seed loss
+trajectories committed as expected values. Catches silent numeric drift
+across refactors (e.g. a kernel reformulation changing math, precision
+regressions, rng-threading changes). CPU fp32 only — conftest pins the
+platform and matmul precision, so these are bit-stable across runs.
+
+If a change legitimately alters numerics (new architecture, different op
+order), regenerate with the snippet in this file's git history and say so
+in the commit message.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_prediction_tpu.configs.hparams import ModelHparams
+from video_prediction_tpu.data.synthetic import SyntheticVideoDataset
+from video_prediction_tpu.models import get_model_class
+from video_prediction_tpu.train import create_train_state, make_train_step
+
+# generated 2026-08-16 after the synthetic noise-floor change
+# (savp VAE, seed 42, synthetic seed 0, uint8 images + full-signal actions)
+GOLDEN_LOSSES = [0.090152, 0.084778, 0.082086, 0.078355, 0.075639]
+
+
+def _setup():
+    ds = SyntheticVideoDataset(mode="train", seed=0, image_size=16)
+    batch = {"images": jnp.asarray(next(ds.make_iterator(2))["images"][:, :6])}
+    hp = ModelHparams(
+        context_frames=2,
+        sequence_length=6,
+        ngf=4,
+        nef=8,
+        nz=4,
+        kl_weight=0.1,
+        l1_weight=1.0,
+        num_transformed_images=2,
+        conv_rnn_norm=False,
+        schedule_sampling="always",
+    )
+    model = get_model_class("savp")(hp)
+    return model, batch
+
+
+class TestGolden:
+    def test_loss_trajectory_matches_committed_values(self):
+        model, batch = _setup()
+        ts = create_train_state(model, jax.random.PRNGKey(42), batch)
+        step = make_train_step(model, donate=False)
+        losses = []
+        for _ in range(len(GOLDEN_LOSSES)):
+            ts, sc = step(ts, batch)
+            losses.append(float(sc["g_loss"]))
+        np.testing.assert_allclose(losses, GOLDEN_LOSSES, rtol=1e-4)
+
+    def test_init_is_deterministic(self):
+        model, batch = _setup()
+        p1, _ = model.init_variables(jax.random.PRNGKey(7), batch)
+        p2, _ = model.init_variables(jax.random.PRNGKey(7), batch)
+        for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

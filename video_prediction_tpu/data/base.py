@@ -177,9 +177,10 @@ class VideoDataset(BaseVideoDataset):
             else:
                 raise ValueError(self.IMAGE_ENCODING)
             frames.append(img)
-        images = tf.cast(tf.stack(frames), tf.float32) / 255.0
-
-        out = {"images": images}
+        # images stay uint8 across the host->device boundary (4x less wire
+        # traffic than f32 — decisive over a tunneled TPU link); the jitted
+        # step normalizes on device (models/base.py#images_to_float)
+        out = {"images": tf.stack(frames)}
         if self.ACTION_KEY and self.hparams.use_state:
             out["actions"] = tf.stack([parsed[self.ACTION_KEY % i] for i in range(T)])
         if self.STATE_KEY and self.hparams.use_state:

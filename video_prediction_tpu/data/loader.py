@@ -30,7 +30,10 @@ class DeviceFeeder:
         prefetch: int = 2,
     ):
         self._it = host_iterator
-        self._sharding = batch_sharding(mesh) if mesh is not None else None
+        # size-1 mesh: plain device_put (NamedSharding adds no information
+        # and keeps arrays off the backend's pathologically slow
+        # annotated-arg path; see train/step.py)
+        self._sharding = batch_sharding(mesh) if mesh is not None and mesh.size > 1 else None
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._err: Optional[BaseException] = None
         self._stop = threading.Event()

@@ -77,15 +77,29 @@ class SyntheticVideoDataset:
         dx = np.abs(coords[None, None, None, :] - traj[..., 1:2])
         my = (dy <= half[None, ..., None]).astype(np.float32)
         mx = (dx <= half[None, ..., None]).astype(np.float32)
-        # [T,B,K,S,S] box masks; max-composite over shapes with colors
+        # [T,B,K,S,S] box masks; max-composite over shapes with colors.
+        # uint8 output: images stay bytes until the device normalizes them.
         box = my[..., :, None] * mx[..., None, :]
         img = np.max(box[..., None] * colors[None, :, :, None, None, :], axis=2)
-        img = np.moveaxis(img, 0, 1).astype(np.float32)  # [B,T,S,S,3]
+        img = (np.moveaxis(img, 0, 1) * 255.0 + 0.5).astype(np.uint8)  # [B,T,S,S,3]
+        # sensor-noise floor: real cameras never emit exact-zero frames, and
+        # all-zero image buffers trip a ~200x slow mode in this build's TPU
+        # runtime (see ARCHITECTURE.md known env issues) — dither the
+        # background with low-level noise like a real sensor would have
+        noise_floor = rng.randint(1, 6, img.shape).astype(np.uint8)
+        img = np.maximum(img, noise_floor)
 
-        actions = np.zeros((B, T, 4), np.float32)
-        states = np.zeros((B, T, 3), np.float32)
-        actions[:, :, :2] = np.moveaxis(vels[:, :, 0], 0, 1)
-        states[:, :, :2] = np.moveaxis(traj[:, :, 0], 0, 1) / S
+        # all 4 action dims / 3 state dims carry signal (velocities of the
+        # first two shapes; position + size of the first) — no all-zero
+        # columns (see the env note above)
+        actions = np.concatenate(
+            [np.moveaxis(vels[:, :, 0], 0, 1), np.moveaxis(vels[:, :, min(1, K - 1)], 0, 1)],
+            axis=-1,
+        ).astype(np.float32)
+        states = np.concatenate(
+            [np.moveaxis(traj[:, :, 0], 0, 1) / S, (half[:, None, 0:1] / S).repeat(T, axis=1)],
+            axis=-1,
+        ).astype(np.float32)
         return {"images": img, "actions": actions, "states": states}
 
     def make_iterator(self, batch_size: int) -> Iterator[Dict[str, np.ndarray]]:

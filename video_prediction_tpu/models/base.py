@@ -41,6 +41,26 @@ from video_prediction_tpu.models.savp import SAVPGenerator
 from video_prediction_tpu.train import schedules
 
 
+def images_to_float(images: jax.Array) -> jax.Array:
+    """Device-side normalization: uint8 [0,255] -> float32 [0,1].
+
+    Datasets ship uint8 across the host->device boundary (4x less transfer
+    than f32 — the H2D link, not the step, bounds real training throughput);
+    every jitted entry point normalizes here. Float inputs pass through,
+    so tests and user code may feed [0,1] floats directly.
+    """
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) / 255.0
+    return images
+
+
+def normalize_batch(batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    if "images" in batch and batch["images"].dtype == jnp.uint8:
+        batch = dict(batch)
+        batch["images"] = images_to_float(batch["images"])
+    return batch
+
+
 def total_variation(images: jax.Array) -> jax.Array:
     """Mean total variation over [..., H, W, C] (reference ``tv_weight``)."""
     dh = jnp.abs(images[..., 1:, :, :] - images[..., :-1, :, :])
@@ -113,6 +133,7 @@ class VideoPredictionModel:
         """Initialize all params/state. Returns ``(params, state)`` where
         ``state`` holds the spectral-norm power-iteration vectors."""
         hp = self.hparams
+        batch = normalize_batch(batch)
         images = batch["images"]
         b, t = images.shape[:2]
         rngs = jax.random.split(rng, 8)
@@ -195,6 +216,7 @@ class VideoPredictionModel:
         per-call overhead — instead of two sequential rollouts.
         """
         hp = self.hparams
+        batch = normalize_batch(batch)
         images = batch["images"]
         b, t = images.shape[:2]
         rng_ss, rng_q, rng_p = jax.random.split(rng, 3)
@@ -321,6 +343,7 @@ class VideoPredictionModel:
         """
         hp = self.hparams
         rng_fwd, rng_clip = jax.random.split(rng)
+        batch = normalize_batch(batch)
         images = batch["images"]
         target = images[:, 1:]
 
@@ -427,6 +450,7 @@ class VideoPredictionModel:
         ``context..T-1``), averaged over batch (reference
         ``base_model.py#metrics_fn``)."""
         hp = self.hparams
+        batch = normalize_batch(batch)
         target = batch["images"][:, hp.context_frames :]
         pred = outputs["gen_images"][:, hp.context_frames - 1 :]
         psnr = M.peak_signal_to_noise_ratio(target, pred)  # [B, Tp]
@@ -477,7 +501,7 @@ class GroundTruthVideoPredictionModel(NonTrainableVideoPredictionModel):
     name = "ground_truth"
 
     def forward(self, params, batch, rng, step, train, **kw):
-        return {"gen_images": batch["images"][:, 1:]}
+        return {"gen_images": images_to_float(batch["images"][:, 1:])}
 
 
 class RepeatVideoPredictionModel(NonTrainableVideoPredictionModel):
@@ -487,7 +511,7 @@ class RepeatVideoPredictionModel(NonTrainableVideoPredictionModel):
 
     def forward(self, params, batch, rng, step, train, **kw):
         hp = self.hparams
-        images = batch["images"]
+        images = images_to_float(batch["images"])
         t = images.shape[1]
         last_context = images[:, hp.context_frames - 1]
         # frames 1..context-1 are the ground truth context (shifted),

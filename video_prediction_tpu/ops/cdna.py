@@ -50,27 +50,6 @@ def normalize_kernels(kernels: jax.Array, method: str = "softmax") -> jax.Array:
     return flat.reshape(kernels.shape)
 
 
-def _extract_patches(image: jax.Array, kh: int, kw: int) -> jax.Array:
-    """SAME-padded patches of an NHWC image -> ``[B, H, W, C, kh*kw]``.
-
-    Implemented as kh*kw shifted static slices of a zero-padded image
-    (correlation tap ordering: tap k = i*kw + j reads offset (i, j)).
-    Exact in any dtype — unlike ``conv_general_dilated_patches``, whose
-    identity-filter conv rounds inputs to the backend's matmul precision —
-    and it keeps patch extraction off the MXU entirely (it's pure data
-    movement; XLA fuses the slices).
-    """
-    b, h, w, c = image.shape
-    ph, pw = (kh - 1) // 2, (kw - 1) // 2
-    padded = jnp.pad(image, ((0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw), (0, 0)))
-    taps = [
-        lax.slice(padded, (0, i, j, 0), (b, i + h, j + w, c))
-        for i in range(kh)
-        for j in range(kw)
-    ]
-    return jnp.stack(taps, axis=-1)  # [B,H,W,C,K2]
-
-
 def apply_cdna_kernels(image: jax.Array, kernels: jax.Array) -> jax.Array:
     """Convolve each sample's image with its own bank of N kernels.
 

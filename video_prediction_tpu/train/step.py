@@ -73,7 +73,11 @@ def make_train_step(model, mesh: Optional[Mesh] = None, donate: bool = True):
         }
         return new_ts, scalars
 
-    if mesh is None:
+    if mesh is None or mesh.size == 1:
+        # Size-1 mesh: sharding annotations are a semantic no-op, and on the
+        # tunneled single-chip backend the annotated-jit path is ~1000x
+        # slower (measured 2836 vs 2.4 ms/step — replicated args appear to
+        # round-trip the host per call). Plain jit is identical math.
         return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
     repl = NamedSharding(mesh, P())
@@ -94,7 +98,7 @@ def make_eval_step(model, mesh: Optional[Mesh] = None):
         metrics = model.metrics_fn(out, batch)
         return out["gen_images"], metrics
 
-    if mesh is None:
+    if mesh is None or mesh.size == 1:
         return jax.jit(eval_step)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
