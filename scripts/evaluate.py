@@ -60,6 +60,13 @@ def parse_args(argv=None):
         help="VGG16 .npz (see models/vgg.py); enables the per-frame VGG "
         "cosine-similarity metric (reference metrics.py vgg_csim)",
     )
+    p.add_argument(
+        "--lpips_weights_path",
+        default="",
+        help="LPIPS linear weights .npz (lin{0..4}/weight; see models/lpips.py); "
+        "with --vgg_weights_path, enables the per-frame LPIPS metric "
+        "(reference lpips-tensorflow submodule)",
+    )
     return p.parse_args(argv)
 
 
@@ -153,9 +160,20 @@ def main(argv=None):
         from video_prediction_tpu.models.vgg import VGGMetric
 
         vgg = VGGMetric(weights_path=args.vgg_weights_path)
+    lpips = None
+    if args.lpips_weights_path:
+        from video_prediction_tpu.models.lpips import LPIPSMetric
+
+        lpips = LPIPSMetric(
+            vgg_weights_path=args.vgg_weights_path, lin_weights_path=args.lpips_weights_path
+        )
 
     ctx = hp.context_frames
-    metric_names = ["psnr", "ssim"] + (["vgg_csim"] if vgg is not None else [])
+    metric_names = (
+        ["psnr", "ssim"]
+        + (["vgg_csim"] if vgg is not None else [])
+        + (["lpips"] if lpips is not None else [])
+    )
     all_metrics = {m: [] for m in metric_names}  # best-of-N, per example per frame
     all_metrics_avg = {m: [] for m in metric_names}
     it = dataset.make_iterator(args.batch_size)
@@ -178,6 +196,10 @@ def main(argv=None):
             stacks["ssim"].append(np.asarray(M.structural_similarity(target, pred)))
             if vgg is not None:
                 stacks["vgg_csim"].append(np.asarray(vgg(target, pred)))
+            if lpips is not None:
+                # lower is better: negate so the best-of-N max reduction
+                # picks the closest sample (sign restored on write-out)
+                stacks["lpips"].append(-np.asarray(lpips(target, pred)))
         stacks = {m: np.stack(v) for m, v in stacks.items()}  # [S,B,Tp]
         psnr_s = stacks["psnr"]
         # reductions over samples (reference: "max" best-of-N and mean)
@@ -209,6 +231,8 @@ def main(argv=None):
     for red, metr in [("max", all_metrics), ("avg", all_metrics_avg)]:
         for name, chunks in metr.items():
             arr = np.concatenate(chunks, axis=0)[: args.num_samples]  # [N, Tp]
+            if name == "lpips":
+                arr = -arr  # stored negated for the best-of-N reduction
             path = os.path.join(results_dir, f"{name}_{red}.txt" if args.num_stochastic_samples > 1 else f"{name}.txt")
             np.savetxt(path, arr)
             print(f"{name} ({red}): mean={arr.mean():.4f}  per-frame={np.array2string(arr.mean(axis=0), precision=3)}")

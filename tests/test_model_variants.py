@@ -144,3 +144,45 @@ class TestExtendedLosses:
     def test_vgg_cdist_requires_weights(self):
         with pytest.raises(FileNotFoundError):
             get_model_class("savp")(hp(vgg_cdist_weight=1.0))
+
+
+class TestImageDiscriminatorAndPrior:
+    def test_image_sn_gan(self):
+        model = get_model_class("savp")(hp(image_sn_gan_weight=0.1))
+        b = batch()
+        params, state = model.init_variables(jax.random.PRNGKey(0), b)
+        assert "image" in params["discriminator"]
+        total, aux = model.compute_losses(params, state, b, jax.random.PRNGKey(1), jnp.zeros((), jnp.int32))
+        assert "image_gan" in aux["g_losses"] and "image_gan_real" in aux["d_losses"]
+        assert np.isfinite(float(total))
+
+    def test_both_discriminators(self):
+        model = get_model_class("savp")(hp(image_sn_gan_weight=0.1, video_sn_gan_weight=0.1))
+        b = batch()
+        ts = create_train_state(model, jax.random.PRNGKey(0), b)
+        step = make_train_step(model, donate=False)
+        ts, scalars = step(ts, b)
+        assert "g/image_gan" in scalars and "g/video_gan" in scalars
+
+    def test_learned_prior(self):
+        model = get_model_class("savp")(hp(nz=4, kl_weight=0.1, learn_prior=True))
+        b = batch()
+        params, _ = model.init_variables(jax.random.PRNGKey(0), b)
+        assert "prior" in params
+        out = model.forward(params, b, jax.random.PRNGKey(1), jnp.zeros((), jnp.int32), train=True)
+        assert "prior_mu" in out and out["prior_mu"].shape == (B, T - 1, 4)
+        # KL against the learned prior is finite and trains
+        ts = create_train_state(model, jax.random.PRNGKey(0), b)
+        step = make_train_step(model, donate=False)
+        ts, scalars = step(ts, b)
+        assert np.isfinite(float(scalars["g/kl"]))
+
+    def test_feature_matching_loss_present(self):
+        model = get_model_class("savp")(
+            hp(video_sn_gan_weight=0.1, gan_feature_l2_weight=1.0)
+        )
+        b = batch()
+        params, state = model.init_variables(jax.random.PRNGKey(0), b)
+        total, aux = model.compute_losses(params, state, b, jax.random.PRNGKey(1), jnp.zeros((), jnp.int32))
+        assert "video_gan_feat" in aux["g_losses"]
+        assert np.isfinite(float(total))

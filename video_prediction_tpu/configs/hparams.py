@@ -91,7 +91,6 @@ class ModelHparams:
     schedule_sampling_steps: Tuple[int, int] = (0, 100000)
     # --- action/state conditioning ---
     use_states: bool = False
-    ablation_conv: bool = False
     # --- numerics / memory ---
     compute_dtype: str = "float32"  # float32 | bfloat16
     # rematerialize the per-timestep generator cell in the backward pass:

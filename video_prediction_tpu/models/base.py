@@ -201,7 +201,6 @@ class VideoPredictionModel:
         rng: jax.Array,
         step: jax.Array,
         train: bool,
-        num_samples: int = 1,
         output_aux: bool = False,
     ) -> Dict[str, jax.Array]:
         """Generator-side forward: rollouts + latent stats.
