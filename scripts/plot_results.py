@@ -16,7 +16,6 @@ import sys
 
 # allow `python scripts/<tool>.py` from anywhere: put the repo root on sys.path
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import glob
 
 import numpy as np
 

@@ -2,8 +2,6 @@
 BAIR/KTH-schema parsers deterministically (SURVEY §4 "Pipeline" tests),
 plus the synthetic dataset and the device feeder."""
 
-import os
-
 import numpy as np
 import pytest
 

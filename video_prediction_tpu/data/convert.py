@@ -15,7 +15,7 @@ from __future__ import annotations
 import glob
 import io
 import os
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 
 def convert_video_dir(

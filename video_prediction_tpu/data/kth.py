@@ -64,7 +64,6 @@ def save_tf_record(out_path: str, video_dirs: List[str], window: int = 30, size=
     """Write fixed-length JPEG-frame windows from each video directory."""
     import io
 
-    import numpy as np
     from PIL import Image
 
     tf = _tf()

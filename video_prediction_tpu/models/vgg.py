@@ -22,7 +22,7 @@ perceptual-metric layers (also used by LPIPS).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

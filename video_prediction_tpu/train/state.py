@@ -9,7 +9,7 @@ orbax checkpoints capture the exact resumable state — the analog of
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

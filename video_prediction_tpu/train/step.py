@@ -10,7 +10,6 @@ the cross-device gradient mean is a ``psum`` XLA inserts from the shardings.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional
 
 import jax

@@ -10,8 +10,6 @@ reference feature, SURVEY §5) and ``evaluate.py``/``generate.py`` outputs.
 from __future__ import annotations
 
 import io
-from typing import Sequence
-
 import numpy as np
 
 
