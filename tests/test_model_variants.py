@@ -186,3 +186,14 @@ class TestImageDiscriminatorAndPrior:
         total, aux = model.compute_losses(params, state, b, jax.random.PRNGKey(1), jnp.zeros((), jnp.int32))
         assert "video_gan_feat" in aux["g_losses"]
         assert np.isfinite(float(total))
+
+    def test_scan_unroll(self):
+        # unrolled scan must match the rolled scan numerically
+        b = batch()
+        out = []
+        for unroll in (1, 2):
+            model = get_model_class("savp")(hp(scan_unroll=unroll))
+            params, _ = model.init_variables(jax.random.PRNGKey(0), b)
+            o = model.forward(params, b, jax.random.PRNGKey(1), jnp.zeros((), jnp.int32), train=False)
+            out.append(np.asarray(o["gen_images"]))
+        np.testing.assert_allclose(out[0], out[1], atol=1e-5)

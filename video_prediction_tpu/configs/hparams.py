@@ -97,6 +97,9 @@ class ModelHparams:
     # trades recompute FLOPs for not storing T-1 sets of activations in HBM
     # (jax.checkpoint on the scanned cell; SURVEY §0 HBM-bandwidth guidance)
     remat: bool = True
+    # unroll factor of the time scan (trades compile time/code size for
+    # less per-iteration loop overhead on short rollouts)
+    scan_unroll: int = 1
 
     def replace(self, **kw) -> "ModelHparams":
         return dataclasses.replace(self, **kw)

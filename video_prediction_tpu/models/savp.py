@@ -309,6 +309,7 @@ class SAVPGenerator(nn.Module):
             split_rngs={"params": False},
             in_axes=0,
             out_axes=0,
+            unroll=hp.scan_unroll,
         )
         carry, outs = scan(cell, carry0, xs)
 
