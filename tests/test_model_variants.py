@@ -197,3 +197,17 @@ class TestImageDiscriminatorAndPrior:
             o = model.forward(params, b, jax.random.PRNGKey(1), jnp.zeros((), jnp.int32), train=False)
             out.append(np.asarray(o["gen_images"]))
         np.testing.assert_allclose(out[0], out[1], atol=1e-5)
+
+    def test_context_images_background(self):
+        model = get_model_class("savp")(hp(context_images_background=True))
+        b = batch()
+        ts = create_train_state(model, jax.random.PRNGKey(0), b)
+        step = make_train_step(model, donate=False)
+        ts, scalars = step(ts, b)
+        assert np.isfinite(float(scalars["g_loss"]))
+        # mask head consumes ctx extra candidates: num_masks grows by context_frames
+        model0 = get_model_class("savp")(hp())
+        ts0 = create_train_state(model0, jax.random.PRNGKey(0), b)
+        k1 = ts.params["generator"]["SAVPCell_0"]["mask_head"]["Conv_0"]["kernel"].shape[-1]
+        k0 = ts0.params["generator"]["SAVPCell_0"]["mask_head"]["Conv_0"]["kernel"].shape[-1]
+        assert k1 == k0 + 2  # context_frames == 2

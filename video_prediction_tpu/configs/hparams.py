@@ -82,6 +82,7 @@ class ModelHparams:
     last_frames: int = 1
     prev_image_background: bool = True
     first_image_background: bool = True
+    context_images_background: bool = False  # all context frames as candidates
     generate_scratch_image: bool = True
     dependent_mask: bool = True
     where_add: str = "all"  # all | input | middle

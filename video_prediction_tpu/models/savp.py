@@ -204,6 +204,9 @@ class SAVPCell(nn.Module):
             candidates.append(image)
         if hp.first_image_background:
             candidates.append(x["first_image"])
+        if hp.context_images_background and "context_images" in x:
+            ctx_imgs = x["context_images"]  # [B, ctx, H, W, C]
+            candidates.extend(ctx_imgs[:, i] for i in range(ctx_imgs.shape[1]))
         if hp.generate_scratch_image or not candidates:
             scratch = nn.sigmoid(Conv2D(c, 3, dtype=self.dtype, name="scratch_head")(feat_top))
             candidates.append(scratch.astype(image.dtype))
@@ -295,6 +298,9 @@ class SAVPGenerator(nn.Module):
             "use_gt": use_gt,  # [T-1,B]
             "first_image": jnp.broadcast_to(first_image[None], (t - 1,) + first_image.shape),
         }
+        if hp.context_images_background:
+            ctx = images[:, : hp.context_frames]  # [B,ctx,H,W,C]
+            xs["context_images"] = jnp.broadcast_to(ctx[None], (t - 1,) + ctx.shape)
         if zs is not None and hp.nz > 0:
             xs["z"] = jnp.moveaxis(zs, 1, 0)
         if actions is not None:
