@@ -179,3 +179,25 @@ class TestTimeShift:
         batch = next(ds.make_iterator(1))
         assert batch["images"].shape == (1, 10, 8, 8, 3)
         np.testing.assert_array_equal(batch["images"][0], truth[0][0:28:3])
+
+
+class TestFeederErrors:
+    def test_iterator_exception_propagates(self):
+        def bad_iter():
+            yield {"images": np.zeros((1, 2, 4, 4, 3), np.uint8)}
+            raise RuntimeError("boom")
+
+        feeder = DeviceFeeder(bad_iter(), prefetch=1)
+        next(feeder)
+        with pytest.raises(RuntimeError, match="boom"):
+            next(feeder)
+            next(feeder)  # second call drains to the error sentinel
+
+    def test_stop_iteration(self):
+        def one_iter():
+            yield {"images": np.zeros((1, 2, 4, 4, 3), np.uint8)}
+
+        feeder = DeviceFeeder(one_iter(), prefetch=1)
+        next(feeder)
+        with pytest.raises(StopIteration):
+            next(feeder)

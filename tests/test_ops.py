@@ -263,3 +263,16 @@ class TestWarp:
         out = np.array(ops.image_warp(img, flow))[0, 0, :, 0]
         # out[x] = img[x - 0.5] = 0.5*(img[x-1]+img[x]) for interior
         np.testing.assert_allclose(out[1:], [0.5, 1.5, 2.5], atol=1e-5)
+
+
+class TestWarpGradients:
+    def test_flow_gradients_finite_nonzero(self):
+        img = jax.random.uniform(jax.random.PRNGKey(0), (1, 8, 8, 2))
+        flow = jnp.ones((1, 8, 8, 2)) * 0.3
+
+        def loss(flow):
+            return jnp.sum(jnp.square(ops.image_warp(img, flow)))
+
+        g = jax.grad(loss)(flow)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0

@@ -52,6 +52,7 @@ class DeviceFeeder:
                 else:
                     batch = jax.tree_util.tree_map(jax.device_put, batch)
                 self._q.put(batch)
+            self._q.put(None)  # sentinel: iterator exhausted -> StopIteration
         except BaseException as e:  # surfaced on next __next__
             self._err = e
             self._q.put(None)
