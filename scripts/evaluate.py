@@ -50,6 +50,20 @@ def parse_args(argv=None):
         help="stochastic samples batched into one device rollout (the sample "
         "dim rides the batch dim on the TPU instead of a host loop)",
     )
+    p.add_argument(
+        "--sequence_length",
+        type=int,
+        default=0,
+        help="evaluate at this sequence length (0 -> trained length); the "
+        "scanned generator is length-agnostic so rollouts longer than the "
+        "trained length just keep predicting",
+    )
+    p.add_argument(
+        "--long",
+        action="store_true",
+        help="evaluate at the dataset's long_sequence_length (reference "
+        "base_dataset.py long-rollout workflow, e.g. KTH ctx 10 -> predict 30)",
+    )
     p.add_argument("--gif_length", type=int, default=0, help="0 -> full sequence")
     p.add_argument("--fps", type=int, default=4)
     p.add_argument("--only_metrics", action="store_true")
@@ -113,6 +127,15 @@ def main(argv=None):
         hp = apply_overrides(hp, parse_overrides(args.model_hparams))
     if args.dataset_hparams:
         dhp = apply_overrides(dhp, parse_overrides(args.dataset_hparams))
+
+    # long-rollout evaluation: rebuild both hparams at the longer T (the
+    # scanned generator takes its length from the input sequence)
+    eval_len = args.sequence_length or (dhp.long_sequence_length if args.long else 0)
+    if eval_len:
+        if eval_len > dhp.sequence_length:
+            print(f"long rollout: sequence_length {dhp.sequence_length} -> {eval_len}")
+        hp = hp.replace(sequence_length=eval_len)
+        dhp = dhp.replace(sequence_length=eval_len)
 
     dataset = get_dataset_class(dataset_name)(args.input_dir, mode=args.mode, hparams=dhp, seed=args.seed)
     model = get_model_class(model_name)(hp, mode=args.mode)
@@ -228,16 +251,21 @@ def main(argv=None):
         sample_idx += 1
 
     # ---- write metric arrays (reference format: one row per example) ----
-    for red, metr in [("max", all_metrics), ("avg", all_metrics_avg)]:
+    # with a single stochastic sample the max/avg reductions coincide: write
+    # every metric once as <name>.txt; with N>1 write <name>_{max,avg}.txt
+    if args.num_stochastic_samples == 1:
+        reductions = [("max", all_metrics)]
+    else:
+        reductions = [("max", all_metrics), ("avg", all_metrics_avg)]
+    for red, metr in reductions:
         for name, chunks in metr.items():
             arr = np.concatenate(chunks, axis=0)[: args.num_samples]  # [N, Tp]
             if name == "lpips":
                 arr = -arr  # stored negated for the best-of-N reduction
-            path = os.path.join(results_dir, f"{name}_{red}.txt" if args.num_stochastic_samples > 1 else f"{name}.txt")
+            suffix = f"_{red}" if args.num_stochastic_samples > 1 else ""
+            path = os.path.join(results_dir, f"{name}{suffix}.txt")
             np.savetxt(path, arr)
             print(f"{name} ({red}): mean={arr.mean():.4f}  per-frame={np.array2string(arr.mean(axis=0), precision=3)}")
-            if args.num_stochastic_samples == 1:
-                break
 
     if html is not None:
         print(f"gallery: {html.save()}")

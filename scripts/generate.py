@@ -29,6 +29,17 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--num_samples", type=int, default=16)
     p.add_argument("--num_stochastic_samples", type=int, default=1)
+    p.add_argument(
+        "--sequence_length",
+        type=int,
+        default=0,
+        help="generate at this sequence length (0 -> trained length)",
+    )
+    p.add_argument(
+        "--long",
+        action="store_true",
+        help="generate at the dataset's long_sequence_length",
+    )
     p.add_argument("--gif_length", type=int, default=0)
     p.add_argument("--fps", type=int, default=4)
     p.add_argument("--save_png", action="store_true", help="also dump per-frame PNGs")
@@ -67,6 +78,13 @@ def main(argv=None):
         hp = apply_overrides(hp, parse_overrides(args.model_hparams))
     if args.dataset_hparams:
         dhp = apply_overrides(dhp, parse_overrides(args.dataset_hparams))
+
+    # long-rollout generation (see evaluate.py: the scanned generator takes
+    # its length from the input sequence)
+    gen_len = args.sequence_length or (dhp.long_sequence_length if args.long else 0)
+    if gen_len:
+        hp = hp.replace(sequence_length=gen_len)
+        dhp = dhp.replace(sequence_length=gen_len)
 
     dataset = get_dataset_class(dataset_name)(args.input_dir, mode=args.mode, hparams=dhp, seed=args.seed)
     model = get_model_class(model_name)(hp, mode=args.mode)

@@ -75,28 +75,45 @@ def main(argv=None):
 
     os.makedirs(args.output_dir, exist_ok=True)
 
-    # ---- datasets ----
+    # ---- dataset hparams ----
     dataset_cls = get_dataset_class(args.dataset)
     dhp = dataset_cls.default_hparams
     if args.dataset_hparams:
         dhp = apply_overrides(dhp, parse_overrides(args.dataset_hparams))
-    train_data = dataset_cls(args.input_dir, mode="train", hparams=dhp, seed=args.seed)
-    val_data = dataset_cls(args.val_input_dir or args.input_dir, mode="val", hparams=dhp, seed=args.seed)
 
     # ---- model ----
     model_cls = get_model_class(args.model)
     hp = model_cls.default_hparams()
+    explicit = set()
     if args.model_hparams_dict:
-        hp = apply_overrides(hp, load_hparams_json(args.model_hparams_dict))
+        overrides = load_hparams_json(args.model_hparams_dict)
+        hp = apply_overrides(hp, overrides)
+        explicit |= set(overrides)
     if args.model_hparams:
-        hp = apply_overrides(hp, parse_overrides(args.model_hparams))
-    # dataset dictates sequence structure (reference: dataset hparams feed the model)
-    hp = hp.replace(context_frames=dhp.context_frames, sequence_length=dhp.sequence_length)
+        overrides = parse_overrides(args.model_hparams)
+        hp = apply_overrides(hp, overrides)
+        explicit |= set(overrides)
+    # sequence structure: dataset hparams backfill, but explicitly-set model
+    # hparams win (reference merge semantics — explicit user settings are
+    # never silently clobbered); the resolved values propagate back to the
+    # dataset so slicing and the model agree
+    backfill = {
+        k: getattr(dhp, k)
+        for k in ("context_frames", "sequence_length")
+        if k not in explicit
+    }
+    if backfill:
+        hp = hp.replace(**backfill)
+    dhp = dhp.replace(context_frames=hp.context_frames, sequence_length=hp.sequence_length)
     if args.batch_size:
         hp = hp.replace(batch_size=args.batch_size)
     if args.max_steps:
         hp = hp.replace(max_steps=args.max_steps)
     model = model_cls(hp, mode="train")
+
+    # ---- datasets ----
+    train_data = dataset_cls(args.input_dir, mode="train", hparams=dhp, seed=args.seed)
+    val_data = dataset_cls(args.val_input_dir or args.input_dir, mode="val", hparams=dhp, seed=args.seed)
 
     # persist resolved options for evaluate.py (reference writes options.json etc.)
     with open(os.path.join(args.output_dir, "options.json"), "w") as f:

@@ -55,6 +55,35 @@ class TestTrainCLI:
         ckpts = glob.glob(os.path.join(run_dir, "checkpoints", "*"))
         assert ckpts, "no checkpoints written"
 
+    def test_explicit_model_hparams_win_over_dataset_defaults(self, tmp_path):
+        # explicit --model_hparams sequence_length/context_frames must NOT be
+        # clobbered by the dataset defaults (round-1 silent-ignore trap), and
+        # the resolved values must propagate back to the dataset hparams
+        import train as train_cli
+
+        out = str(tmp_path / "prec_run")
+        train_cli.main(
+            [
+                "--dataset", "synthetic",
+                "--model", "savp",
+                "--model_hparams", TINY.replace("max_steps=3", "max_steps=1")
+                + ",sequence_length=5,context_frames=3",
+                "--output_dir", out,
+                "--save_freq", "0",
+                "--progress_freq", "0",
+                "--summary_freq", "0",
+                "--eval_summary_freq", "0",
+                "--image_summary_freq", "0",
+                "--no_tensorboard",
+            ]
+        )
+        with open(os.path.join(out, "model_hparams.json")) as f:
+            hp = json.load(f)
+        assert hp["sequence_length"] == 5 and hp["context_frames"] == 3
+        with open(os.path.join(out, "dataset_hparams.json")) as f:
+            dhp = json.load(f)
+        assert dhp["sequence_length"] == 5 and dhp["context_frames"] == 3
+
     def test_resume(self, run_dir):
         import train as train_cli
 
@@ -91,11 +120,56 @@ class TestEvaluateCLI:
             ]
         )
         base = os.path.join(results, "synthetic", "savp")
-        psnr = np.loadtxt(os.path.join(base, "psnr.txt"))
-        assert psnr.shape[0] == 2  # one row per example
-        assert np.isfinite(psnr).all()
+        # EVERY enabled metric must be written in the 1-sample path (the
+        # round-1 bug wrote only psnr.txt)
+        for name in ("psnr", "ssim"):
+            arr = np.loadtxt(os.path.join(base, f"{name}.txt"))
+            assert arr.shape[0] == 2  # one row per example
+            assert np.isfinite(arr).all(), name
         assert os.path.exists(os.path.join(base, "index.html"))
         assert glob.glob(os.path.join(base, "images", "*.gif"))
+
+    def test_evaluate_stochastic_writes_both_reductions(self, run_dir, tmp_path):
+        import evaluate as eval_cli
+
+        results = str(tmp_path / "results_sto")
+        eval_cli.main(
+            [
+                "--checkpoint", run_dir,
+                "--results_dir", results,
+                "--batch_size", "2",
+                "--num_samples", "2",
+                "--num_stochastic_samples", "2",
+                "--only_metrics",
+            ]
+        )
+        base = os.path.join(results, "synthetic", "savp")
+        for name in ("psnr", "ssim"):
+            for red in ("max", "avg"):
+                arr = np.loadtxt(os.path.join(base, f"{name}_{red}.txt"))
+                assert np.isfinite(arr).all(), (name, red)
+
+    def test_long_rollout(self, run_dir, tmp_path):
+        # model trained at T=4 evaluates at T=6: per-frame curves over 4
+        # predicted frames instead of 2 (the scanned generator is
+        # length-agnostic; reference long_sequence_length workflow)
+        import evaluate as eval_cli
+
+        results = str(tmp_path / "results_long")
+        eval_cli.main(
+            [
+                "--checkpoint", run_dir,
+                "--results_dir", results,
+                "--batch_size", "2",
+                "--num_samples", "2",
+                "--sequence_length", "6",
+                "--only_metrics",
+            ]
+        )
+        base = os.path.join(results, "synthetic", "savp")
+        psnr = np.loadtxt(os.path.join(base, "psnr.txt"))
+        assert psnr.shape == (2, 4)  # T=6, ctx=2 -> 4 predicted frames
+        assert np.isfinite(psnr).all()
 
     def test_plot_results(self, run_dir, tmp_path):
         import evaluate as eval_cli
