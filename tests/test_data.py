@@ -126,6 +126,64 @@ class TestKTHConverterRoundtrip:
         assert (np.diff(means) > 0).all()
 
 
+class TestCropScale:
+    def test_scale_down(self, tmp_path):
+        # raw 8x8 records scaled to 4x4 (reference decode_and_preprocess_images)
+        d = tmp_path / "bair" / "train"
+        d.mkdir(parents=True)
+        write_bair_fixture(str(d / "t.tfrecord"))
+        cls = get_dataset_class("bair")
+        hp = DatasetHparams(sequence_length=12, scale_size=4)
+        ds = _patched(cls)(str(d), mode="test", hparams=hp)
+        batch = next(ds.make_iterator(1))
+        assert batch["images"].shape == (1, 12, 4, 4, 3)
+        assert batch["images"].dtype == np.uint8
+
+    def test_crop_then_scale_native_kth(self, tmp_path):
+        # KTH-style: native 120x160 JPEG frames -> center-crop 120 -> scale 64
+        from PIL import Image
+
+        from video_prediction_tpu.data.kth import KTHVideoDataset, save_tf_record
+
+        root = tmp_path / "frames" / "person01_boxing_d1"
+        root.mkdir(parents=True)
+        rng = np.random.RandomState(0)
+        for i in range(30):
+            Image.fromarray(rng.randint(0, 256, (120, 160, 3), np.uint8)).save(
+                root / f"frame_{i:05d}.png"
+            )
+        out = tmp_path / "rec" / "train"
+        out.mkdir(parents=True)
+        # native-resolution storage (size=None)
+        save_tf_record(str(out / "kth.tfrecord"), [str(root.parent / "person01_boxing_d1")], window=30, size=None)
+
+        hp = DatasetHparams(context_frames=10, sequence_length=20, crop_size=120, scale_size=64)
+        ds = KTHVideoDataset(str(out), mode="test", hparams=hp)
+        batch = next(ds.make_iterator(1))
+        assert batch["images"].shape == (1, 20, 64, 64, 3)
+        assert batch["images"].dtype == np.uint8
+
+    def test_scale_only_native(self, tmp_path):
+        # no crop: rectangular native frames squash-resized to the square size
+        from PIL import Image
+
+        from video_prediction_tpu.data.kth import KTHVideoDataset, save_tf_record
+
+        root = tmp_path / "frames" / "person01_jogging_d1"
+        root.mkdir(parents=True)
+        for i in range(30):
+            Image.fromarray(np.full((120, 160, 3), i * 8, np.uint8)).save(
+                root / f"frame_{i:05d}.png"
+            )
+        out = tmp_path / "rec" / "train"
+        out.mkdir(parents=True)
+        save_tf_record(str(out / "kth.tfrecord"), [str(root)], window=30, size=None)
+        hp = DatasetHparams(context_frames=10, sequence_length=20, scale_size=128)
+        ds = KTHVideoDataset(str(out), mode="test", hparams=hp)
+        batch = next(ds.make_iterator(1))
+        assert batch["images"].shape == (1, 20, 128, 128, 3)
+
+
 class TestSynthetic:
     def test_shapes_and_determinism(self):
         cls = get_dataset_class("synthetic")

@@ -70,6 +70,27 @@ class BaseVideoDataset:
         """Parse one serialized example to ``{images [T,H,W,C] float32, ...}``."""
         raise NotImplementedError
 
+    def preprocess_images(self, images):
+        """Optional resize/crop (reference ``base_dataset.py#
+        decode_and_preprocess_images``): ``crop_size`` center-crops (or pads)
+        to a square, then ``scale_size`` bilinear-resizes. Output stays uint8
+        so images keep crossing the host->device boundary as bytes.
+
+        Runs on the CPU pipeline host-side — e.g. KTH stored at its native
+        120x160 evaluates at 64px with ``scale_size=64`` or 128px with
+        ``crop_size=120,scale_size=128``.
+        """
+        tf = _tf()
+        hp = self.hparams
+        if hp.crop_size:
+            images = tf.image.resize_with_crop_or_pad(images, hp.crop_size, hp.crop_size)
+        if hp.scale_size:
+            h, w = images.shape[-3], images.shape[-2]
+            if h != hp.scale_size or w != hp.scale_size:
+                resized = tf.image.resize(images, [hp.scale_size, hp.scale_size], method="bilinear")
+                images = tf.cast(tf.round(tf.clip_by_value(resized, 0.0, 255.0)), tf.uint8)
+        return images
+
     @property
     def source_sequence_length(self) -> int:
         """Frames stored per record (the slice window comes from hparams)."""
@@ -166,6 +187,10 @@ class VideoDataset(BaseVideoDataset):
                 features[self.STATE_KEY % i] = tf.io.FixedLenFeature([self.STATE_DIM], tf.float32)
         parsed = tf.io.parse_single_example(serialized, features)
 
+        # with crop/scale preprocessing active, encoded frames may be stored
+        # at a different (even unknown) native resolution: decode dynamically
+        # and let preprocess_images produce the static final size
+        dynamic = bool(self.hparams.crop_size or self.hparams.scale_size)
         frames = []
         for i in range(T):
             raw = parsed[self.IMAGE_KEY % i]
@@ -173,14 +198,18 @@ class VideoDataset(BaseVideoDataset):
                 img = tf.reshape(tf.io.decode_raw(raw, tf.uint8), [h, w, c])
             elif self.IMAGE_ENCODING in ("jpeg", "png"):
                 img = tf.image.decode_image(raw, channels=c, expand_animations=False)
-                img = tf.reshape(img, [h, w, c])
+                if dynamic:
+                    img.set_shape([None, None, c])
+                else:
+                    img = tf.reshape(img, [h, w, c])
             else:
                 raise ValueError(self.IMAGE_ENCODING)
             frames.append(img)
         # images stay uint8 across the host->device boundary (4x less wire
         # traffic than f32 — decisive over a tunneled TPU link); the jitted
         # step normalizes on device (models/base.py#images_to_float)
-        out = {"images": tf.stack(frames)}
+        images = self.preprocess_images(tf.stack(frames))
+        out = {"images": images}
         if self.ACTION_KEY and self.hparams.use_state:
             out["actions"] = tf.stack([parsed[self.ACTION_KEY % i] for i in range(T)])
         if self.STATE_KEY and self.hparams.use_state:

@@ -61,7 +61,12 @@ def partition_data(video_dirs: List[str]):
 
 
 def save_tf_record(out_path: str, video_dirs: List[str], window: int = 30, size=(64, 64)):
-    """Write fixed-length JPEG-frame windows from each video directory."""
+    """Write fixed-length JPEG-frame windows from each video directory.
+
+    ``size=None`` stores frames at their native resolution (KTH: 120x160);
+    the dataset's ``scale_size``/``crop_size`` hparams then pick the model
+    resolution at read time (64 or 128px, reference-style).
+    """
     import io
 
     from PIL import Image
@@ -78,7 +83,9 @@ def save_tf_record(out_path: str, video_dirs: List[str], window: int = 30, size=
             for start in range(0, len(frames) - window + 1, window):
                 feat = {}
                 for i in range(window):
-                    img = Image.open(frames[start + i]).convert("RGB").resize(size[::-1])
+                    img = Image.open(frames[start + i]).convert("RGB")
+                    if size is not None:
+                        img = img.resize(size[::-1])
                     buf = io.BytesIO()
                     img.save(buf, format="JPEG", quality=95)
                     feat[f"{i}/image/encoded"] = tf.train.Feature(
@@ -100,14 +107,22 @@ def main():
     p.add_argument("frames_root", help="dir of <video_name>/<frame>.png trees")
     p.add_argument("out_dir")
     p.add_argument("--window", type=int, default=30)
+    p.add_argument(
+        "--image_size",
+        type=int,
+        default=64,
+        help="square size baked into the records; 0 stores native resolution "
+        "(use dataset hparams scale_size/crop_size to pick 64/128 at read time)",
+    )
     args = p.parse_args()
 
+    size = (args.image_size, args.image_size) if args.image_size else None
     video_dirs = sorted(d for d in glob.glob(os.path.join(args.frames_root, "*")) if os.path.isdir(d))
     train, test = partition_data(video_dirs)
     os.makedirs(os.path.join(args.out_dir, "train"), exist_ok=True)
     os.makedirs(os.path.join(args.out_dir, "test"), exist_ok=True)
-    n1 = save_tf_record(os.path.join(args.out_dir, "train", "kth_train.tfrecord"), train, args.window)
-    n2 = save_tf_record(os.path.join(args.out_dir, "test", "kth_test.tfrecord"), test, args.window)
+    n1 = save_tf_record(os.path.join(args.out_dir, "train", "kth_train.tfrecord"), train, args.window, size)
+    n2 = save_tf_record(os.path.join(args.out_dir, "test", "kth_test.tfrecord"), test, args.window, size)
     print(f"wrote {n1} train / {n2} test sequences")
 
 
