@@ -59,6 +59,29 @@ class TestLosses:
         f2 = [jnp.zeros((2, 3)), jnp.zeros((2, 3))]
         assert float(losses.feature_matching_loss(f1, f2, "l2")) == pytest.approx(0.5)
 
+    def test_sigmoid_kl_with_logits(self):
+        # zero at the fixed point: sigmoid(logit(t)) == t -> KL == 0
+        t = 0.9
+        logit = float(np.log(t / (1 - t)))
+        out = losses.sigmoid_kl_with_logits(jnp.full((4,), logit), t)
+        assert out.shape == (4,)  # element-wise, caller reduces
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+        # equals sigmoid-CE minus target entropy everywhere
+        logits = jnp.array([-2.0, 0.0, 3.0])
+        ce = np.maximum(np.asarray(logits), 0) - np.asarray(logits) * t + np.log1p(
+            np.exp(-np.abs(np.asarray(logits)))
+        )
+        entropy = -t * np.log(t) - (1 - t) * np.log(1 - t)
+        np.testing.assert_allclose(
+            np.asarray(losses.sigmoid_kl_with_logits(logits, t)), ce - entropy, rtol=1e-6
+        )
+        # hard labels reduce to plain sigmoid cross-entropy (softplus form)
+        np.testing.assert_allclose(
+            np.asarray(losses.sigmoid_kl_with_logits(logits, 1.0)),
+            np.log1p(np.exp(-np.asarray(logits))),
+            rtol=1e-6,
+        )
+
 
 def _numpy_ssim(x, y, max_val=1.0, size=11, sigma=1.5, k1=0.01, k2=0.03):
     """Independent SSIM implementation (direct convolution, VALID)."""

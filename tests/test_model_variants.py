@@ -34,7 +34,7 @@ def batch(with_actions=False, with_states=False):
 
 
 class TestTransformations:
-    @pytest.mark.parametrize("transformation", ["flow", "dna", "direct"])
+    @pytest.mark.parametrize("transformation", ["flow", "dna", "direct", "stp"])
     def test_variant_trains(self, transformation):
         n = 0 if transformation in ("dna", "direct") else 2
         model = get_model_class("savp")(hp(transformation=transformation, num_transformed_images=n))
@@ -205,9 +205,10 @@ class TestImageDiscriminatorAndPrior:
         step = make_train_step(model, donate=False)
         ts, scalars = step(ts, b)
         assert np.isfinite(float(scalars["g_loss"]))
-        # mask head consumes ctx extra candidates: num_masks grows by context_frames
+        # context frames become candidates and first_image_background is
+        # suppressed (context frame 0 IS the first image): net +ctx-1 masks
         model0 = get_model_class("savp")(hp())
         ts0 = create_train_state(model0, jax.random.PRNGKey(0), b)
         k1 = ts.params["generator"]["SAVPCell_0"]["mask_head"]["Conv_0"]["kernel"].shape[-1]
         k0 = ts0.params["generator"]["SAVPCell_0"]["mask_head"]["Conv_0"]["kernel"].shape[-1]
-        assert k1 == k0 + 2  # context_frames == 2
+        assert k1 == k0 + 1  # context_frames == 2

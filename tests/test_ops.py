@@ -265,6 +265,105 @@ class TestWarp:
         np.testing.assert_allclose(out[1:], [0.5, 1.5, 2.5], atol=1e-5)
 
 
+class TestLocal2D:
+    def test_matches_naive_loop(self):
+        rng = np.random.RandomState(0)
+        b, h, w, cin, cout, k = 2, 5, 4, 3, 2, 3
+        x = rng.rand(b, h, w, cin).astype(np.float32)
+        weights = rng.rand(h, w, k, k, cin, cout).astype(np.float32)
+        bias = rng.rand(cout).astype(np.float32)
+        out = np.array(ops.local2d_apply(jnp.asarray(x), jnp.asarray(weights), jnp.asarray(bias)))
+
+        pad = k // 2
+        xp = np.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        for bb in range(b):
+            for y in range(h):
+                for xx in range(w):
+                    patch = xp[bb, y : y + k, xx : xx + k]  # [k,k,cin]
+                    expect = np.einsum("ijc,ijcd->d", patch, weights[y, xx]) + bias
+                    np.testing.assert_allclose(out[bb, y, xx], expect, atol=1e-4)
+
+    def test_module_shapes_and_grads(self):
+        m = ops.Local2D(features=4, kernel_size=3)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 6, 6, 3))
+        params = m.init(jax.random.PRNGKey(1), x)
+        assert params["params"]["kernel"].shape == (6, 6, 3, 3, 3, 4)
+        out = m.apply(params, x)
+        assert out.shape == (2, 6, 6, 4)
+
+        g = jax.grad(lambda p: jnp.sum(jnp.square(m.apply(p, x))))(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+class TestAffineWarp:
+    def test_zero_params_is_identity(self):
+        # params are deltas from the identity transform
+        img = jax.random.uniform(jax.random.PRNGKey(0), (2, 8, 8, 3))
+        params = jnp.zeros((2, 3, 6))
+        out = ops.apply_affine_kernels(img, params)
+        assert out.shape == (2, 3, 8, 8, 3)
+        for i in range(3):
+            np.testing.assert_allclose(np.array(out[:, i]), np.array(img), atol=1e-5)
+
+    def test_translation_matches_naive_shift(self):
+        # tx delta of 2/(W-1) in normalized coords = source shifted +1 px in x:
+        # output[y, x] = image[y, x+1] for interior columns
+        w = 8
+        img = jnp.arange(w, dtype=jnp.float32).reshape(1, 1, w, 1)
+        img = jnp.tile(img, (1, w, 1, 1))
+        params = jnp.zeros((1, 1, 6)).at[0, 0, 2].set(2.0 / (w - 1))
+        out = np.array(ops.apply_affine_kernels(img, params))[0, 0, 0, :, 0]
+        ref = np.array(img)[0, 0, :, 0]
+        np.testing.assert_allclose(out[:-1], ref[1:], atol=1e-4)
+
+    def test_scale_matches_naive_resample(self):
+        # 2x zoom-out (theta diag 2): sample coords run [-2, 2]; compare the
+        # transformer against a naive per-pixel bilinear loop
+        rng = np.random.RandomState(0)
+        img = rng.rand(1, 6, 6, 2).astype(np.float32)
+        delta = np.zeros((1, 2, 6), np.float32)
+        delta[0, 0, 0] = 1.0  # a11 = 2
+        delta[0, 0, 4] = 1.0  # a22 = 2
+        delta[0, 1, 2] = 0.3  # second transform: small x translation
+        delta[0, 1, 5] = -0.2  # and y translation
+        out = np.array(ops.apply_affine_kernels(jnp.asarray(img), jnp.asarray(delta)))
+
+        h = w = 6
+        identity = np.array([1.0, 0, 0, 0, 1.0, 0], np.float32)
+        for n in range(2):
+            theta = (delta[0, n] + identity).reshape(2, 3)
+            for y in range(h):
+                for x in range(w):
+                    xt = 2.0 * x / (w - 1) - 1.0
+                    yt = 2.0 * y / (h - 1) - 1.0
+                    xs, ys = theta @ np.array([xt, yt, 1.0])
+                    qx = np.clip((xs + 1.0) * (w - 1) / 2.0, 0, w - 1)
+                    qy = np.clip((ys + 1.0) * (h - 1) / 2.0, 0, h - 1)
+                    x0, y0 = int(np.floor(qx)), int(np.floor(qy))
+                    x1, y1 = min(x0 + 1, w - 1), min(y0 + 1, h - 1)
+                    wx, wy = qx - x0, qy - y0
+                    expect = (
+                        img[0, y0, x0] * (1 - wx) * (1 - wy)
+                        + img[0, y0, x1] * wx * (1 - wy)
+                        + img[0, y1, x0] * (1 - wx) * wy
+                        + img[0, y1, x1] * wx * wy
+                    )
+                    np.testing.assert_allclose(out[0, n, y, x], expect, atol=1e-4)
+
+    def test_affine_gradients_finite_nonzero(self):
+        img = jax.random.uniform(jax.random.PRNGKey(0), (1, 8, 8, 2))
+        params = jnp.full((1, 2, 6), 0.05)
+
+        def loss(p):
+            return jnp.sum(jnp.square(ops.apply_affine_kernels(img, p)))
+
+        g = jax.grad(loss)(params)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0
+
+
 class TestWarpGradients:
     def test_flow_gradients_finite_nonzero(self):
         img = jax.random.uniform(jax.random.PRNGKey(0), (1, 8, 8, 2))

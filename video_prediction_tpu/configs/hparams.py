@@ -76,7 +76,7 @@ class ModelHparams:
     conv_rnn_norm: bool = True  # layer-norm inside the ConvLSTM cells
     learn_initial_state: bool = False  # learned (vs zero) ConvRNN init states
     vgg_weights_path: str = ""  # VGG16 .npz for vgg_cdist_weight / eval csim
-    transformation: str = "cdna"  # cdna | dna | flow | direct
+    transformation: str = "cdna"  # cdna | dna | stp | flow | direct
     kernel_size: Tuple[int, int] = (5, 5)
     num_transformed_images: int = 4
     last_frames: int = 1

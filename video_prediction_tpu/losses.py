@@ -62,6 +62,30 @@ def gan_loss(logits: jax.Array, labels: float, gan_loss_type: str = "LSGAN") -> 
     raise ValueError(f"unknown gan_loss_type {gan_loss_type!r}")
 
 
+def sigmoid_kl_with_logits(logits: jax.Array, targets: float) -> jax.Array:
+    """Per-element KL(targets || sigmoid(logits)) for a scalar soft label:
+    sigmoid cross-entropy minus the target's own entropy, so the loss is 0
+    when sigmoid(logits) == targets. Used for one-sided label smoothing of
+    GAN discriminators (reference ``ops.py#sigmoid_kl_with_logits``).
+
+    Returns the element-wise array (the caller reduces), matching the
+    reference's contract.
+    """
+    import math
+
+    logits = _f32(logits)
+    if not isinstance(targets, float):
+        raise TypeError(f"targets must be a python float, got {type(targets)}")
+    if targets in (0.0, 1.0):
+        entropy = 0.0
+    else:
+        entropy = -targets * math.log(targets) - (1.0 - targets) * math.log(1.0 - targets)
+    t = jnp.full_like(logits, targets)
+    # numerically-stable sigmoid cross-entropy with logits
+    ce = jnp.maximum(logits, 0) - logits * t + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return ce - entropy
+
+
 def kl_loss(
     mu1: jax.Array,
     logvar1: jax.Array,

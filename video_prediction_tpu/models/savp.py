@@ -13,8 +13,9 @@ for XLA:
 - Scheduled sampling is a per-(step, sample) bernoulli mask sampled
   *outside* the scan from the step-dependent probability, selected inside
   with ``jnp.where`` — no retracing, no host sync.
-- CDNA/DNA kernel application is the patches+einsum formulation from
-  ``ops/cdna.py`` (MXU batched matmul), not the grouped-conv CUDA trick.
+- CDNA/DNA kernel application is the shifted-FMA tap formulation from
+  ``ops/cdna.py`` (kh*kw shifted fused multiply-adds, no patch tensor in
+  HBM), not the grouped-conv CUDA trick.
 - The VAE posterior encodes all frame pairs as one folded batch.
 """
 
@@ -189,6 +190,26 @@ class SAVPCell(nn.Module):
             )
             transformed = cdna_ops.apply_dna_kernels(image, kernels)
             candidates.append(transformed[:, 0])
+        elif hp.transformation == "stp":
+            # spatial-transformer kernels (reference dna_model.py STP /
+            # Finn et al. 2016): N per-sample affine transforms predicted
+            # from the bottleneck through a small fc, zero-initialized so
+            # every transform starts at the identity warp
+            if n_trans > 0:
+                pooled = jnp.mean(bottleneck, axis=(1, 2))
+                hfc = act(nn.Dense(100, dtype=self.dtype, name="stp_fc")(pooled))
+                raw = nn.Dense(
+                    6 * n_trans,
+                    dtype=self.dtype,
+                    kernel_init=nn.initializers.zeros,
+                    name="stp_head",
+                )(hfc)
+                affine = raw.astype(jnp.float32).reshape(b, n_trans, 6)
+                aux["stp_params"] = affine
+                for f in range(hp.last_frames):
+                    frame = last_images[:, -(f + 1)]
+                    transformed = warp_ops.apply_affine_kernels(frame, affine)
+                    candidates.extend(transformed[:, i] for i in range(n_trans))
         elif hp.transformation == "flow":
             flows = Conv2D(2 * n_trans, 3, dtype=self.dtype, name="flow_head")(feat_top)
             flows = flows.astype(jnp.float32).reshape(b, hgt, wid, 2, n_trans)
@@ -202,7 +223,10 @@ class SAVPCell(nn.Module):
 
         if hp.prev_image_background:
             candidates.append(image)
-        if hp.first_image_background:
+        # context_images_background subsumes first_image_background (context
+        # frame 0 IS the first image) — the reference guards the same way,
+        # so num_masks / the mask-head channel count match its checkpoints
+        if hp.first_image_background and not hp.context_images_background:
             candidates.append(x["first_image"])
         if hp.context_images_background and "context_images" in x:
             ctx_imgs = x["context_images"]  # [B, ctx, H, W, C]

@@ -12,6 +12,8 @@ from video_prediction_tpu.ops.layers import (  # noqa: F401
     ConvTranspose2D,
     UpsampleConv2D,
     ConvPool2D,
+    Local2D,
+    local2d_apply,
     lrelu,
     pool2d,
     upsample2d,
@@ -28,4 +30,9 @@ from video_prediction_tpu.ops.cdna import (  # noqa: F401
     identity_kernel,
     normalize_kernels,
 )
-from video_prediction_tpu.ops.warp import image_warp, flow_to_warp_grid  # noqa: F401
+from video_prediction_tpu.ops.warp import (  # noqa: F401
+    apply_affine_kernels,
+    bilinear_sample,
+    flow_to_warp_grid,
+    image_warp,
+)

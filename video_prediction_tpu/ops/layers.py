@@ -108,6 +108,67 @@ class Conv3D(nn.Module):
         )(x)
 
 
+def local2d_apply(x: jax.Array, weights: jax.Array, bias: jax.Array | None = None) -> jax.Array:
+    """Locally-connected 2-D convolution: every output pixel owns a kernel.
+
+    Args:
+      x: ``[B, H, W, Cin]`` NHWC input.
+      weights: ``[H, W, kh, kw, Cin, Cout]`` per-pixel kernels, SAME padding.
+      bias: optional ``[Cout]``.
+
+    Reference ``ops.py#local2d``. TPU formulation: kh*kw shifted per-pixel
+    matmuls (``einsum bhwc,hwcd->bhwd``) that XLA batches on the MXU with
+    (h, w) as batch dims — no ``[B,H,W,kh,kw,Cin]`` patch tensor in HBM
+    (same design as ``ops/cdna.py``).
+    """
+    b, h, w, cin = x.shape
+    hh, ww, kh, kw, cin2, cout = weights.shape
+    assert (hh, ww, cin2) == (h, w, cin), (weights.shape, x.shape)
+    ph, pw = (kh - 1) // 2, (kw - 1) // 2
+    padded = jnp.pad(x, ((0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw), (0, 0)))
+    acc = jnp.zeros((b, h, w, cout), jnp.float32)
+    for i in range(kh):
+        for j in range(kw):
+            tap = jax.lax.slice(padded, (0, i, j, 0), (b, i + h, j + w, cin))
+            acc = acc + jnp.einsum(
+                "bhwc,hwcd->bhwd",
+                tap.astype(jnp.float32),
+                weights[:, :, i, j].astype(jnp.float32),
+            )
+    if bias is not None:
+        acc = acc + bias.astype(jnp.float32)
+    return acc.astype(x.dtype)
+
+
+class Local2D(nn.Module):
+    """Locally-connected conv layer (reference ``ops.py#local2d``); weights
+    are untied across spatial positions, so the parameter count scales with
+    H*W — use only at small resolutions (as the reference does)."""
+
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = True
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, cin = x.shape
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (h, w, k, k, cin, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        dtype = self.dtype or x.dtype
+        return local2d_apply(x.astype(dtype), kernel, bias)
+
+
 class ConvTranspose2D(nn.Module):
     """Transposed conv (reference ``ops.py#deconv2d``)."""
 

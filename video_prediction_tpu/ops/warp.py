@@ -27,12 +27,17 @@ def flow_to_warp_grid(flow: jax.Array) -> jax.Array:
     return jnp.stack([qy, qx], axis=-1)
 
 
-def image_warp(image: jax.Array, flow: jax.Array) -> jax.Array:
-    """Bilinear-warp ``image [B,H,W,C]`` by ``flow [B,H,W,2]`` (dy, dx)."""
+def bilinear_sample(image: jax.Array, qy: jax.Array, qx: jax.Array) -> jax.Array:
+    """Sample ``image [B,H,W,C]`` at pixel coords ``qy``/``qx`` ``[B, ...]``
+    with bilinear interpolation and edge clamping; returns ``[B, ..., C]``.
+
+    Four ``jnp.take_along_axis`` gathers on the flattened spatial axis —
+    static shapes, shared by the flow and affine (STP) warps.
+    """
     b, h, w, c = image.shape
-    coords = flow_to_warp_grid(flow.astype(jnp.float32))
-    qy = jnp.clip(coords[..., 0], 0.0, h - 1.0)
-    qx = jnp.clip(coords[..., 1], 0.0, w - 1.0)
+    out_shape = qy.shape[1:]
+    qy = jnp.clip(qy.astype(jnp.float32), 0.0, h - 1.0).reshape(b, -1)
+    qx = jnp.clip(qx.astype(jnp.float32), 0.0, w - 1.0).reshape(b, -1)
 
     y0 = jnp.floor(qy)
     x0 = jnp.floor(qx)
@@ -49,8 +54,8 @@ def image_warp(image: jax.Array, flow: jax.Array) -> jax.Array:
     flat = image.reshape(b, h * w, c)
 
     def gather(yi, xi):
-        idx = yi * w + xi  # [B,H,W]
-        return jnp.take_along_axis(flat, idx.reshape(b, h * w, 1), axis=1).reshape(b, h, w, c)
+        idx = (yi * w + xi)[..., None]  # [B, M, 1]
+        return jnp.take_along_axis(flat, idx, axis=1)  # [B, M, C]
 
     v00 = gather(y0i, x0i)
     v01 = gather(y0i, x1i)
@@ -61,4 +66,43 @@ def image_warp(image: jax.Array, flow: jax.Array) -> jax.Array:
     wx = wx[..., None].astype(image.dtype)
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
-    return top * (1 - wy) + bot * wy
+    out = top * (1 - wy) + bot * wy
+    return out.reshape((b,) + out_shape + (c,))
+
+
+def image_warp(image: jax.Array, flow: jax.Array) -> jax.Array:
+    """Bilinear-warp ``image [B,H,W,C]`` by ``flow [B,H,W,2]`` (dy, dx)."""
+    coords = flow_to_warp_grid(flow.astype(jnp.float32))
+    return bilinear_sample(image, coords[..., 0], coords[..., 1])
+
+
+def apply_affine_kernels(image: jax.Array, params: jax.Array) -> jax.Array:
+    """STP: warp ``image [B,H,W,C]`` by N per-sample affine transforms.
+
+    Args:
+      image: ``[B, H, W, C]`` previous frame.
+      params: ``[B, N, 6]`` rows of a 2x3 affine matrix in the spatial
+        transformer convention (Jaderberg et al.; normalized [-1, 1] coords,
+        output grid -> source coords), as DELTAS from the identity transform
+        so a zero-initialized head starts at the identity warp — same as the
+        reference's identity-biased STP head
+        (``models/dna_model.py`` STP transformation, Finn et al. 2016).
+
+    Returns:
+      ``[B, N, H, W, C]`` transformed images.
+    """
+    b, h, w, c = image.shape
+    n = params.shape[1]
+    identity = jnp.asarray([1.0, 0.0, 0.0, 0.0, 1.0, 0.0], jnp.float32)
+    theta = (params.astype(jnp.float32) + identity).reshape(b, n, 2, 3)
+
+    # normalized output grid [3, H, W]: rows (x_t, y_t, 1)
+    ys = jnp.linspace(-1.0, 1.0, h)
+    xs = jnp.linspace(-1.0, 1.0, w)
+    gx, gy = jnp.meshgrid(xs, ys)  # [H, W] each
+    grid = jnp.stack([gx, gy, jnp.ones_like(gx)])  # [3, H, W]
+
+    src = jnp.einsum("bnij,jhw->bnihw", theta, grid)  # [B, N, 2(x,y), H, W]
+    qx = (src[:, :, 0] + 1.0) * (w - 1.0) / 2.0
+    qy = (src[:, :, 1] + 1.0) * (h - 1.0) / 2.0
+    return bilinear_sample(image, qy, qx)  # [B, N, H, W, C]
