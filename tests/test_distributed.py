@@ -1,0 +1,161 @@
+"""Tests for parallel/distributed.py: env-var resolution order for
+``maybe_initialize``, ``per_host_batch`` divisibility, and a guarded real
+2-process ``jax.distributed.initialize`` smoke test on CPU."""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+from video_prediction_tpu.parallel.distributed import maybe_initialize, per_host_batch
+
+ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "JAX_NUM_PROCESSES",
+    "JAX_PROCESS_ID",
+    "TPU_WORKER_HOSTNAMES",
+    "TPU_WORKER_ID",
+)
+
+
+@pytest.fixture()
+def clean_env(monkeypatch):
+    for v in ENV_VARS:
+        monkeypatch.delenv(v, raising=False)
+    return monkeypatch
+
+
+@pytest.fixture()
+def record_initialize(clean_env):
+    """Intercept jax.distributed.initialize; returns the recorded calls."""
+    import jax
+
+    calls = []
+    clean_env.setattr(
+        jax.distributed, "initialize", lambda *a, **kw: calls.append((a, kw))
+    )
+    return calls
+
+
+class TestMaybeInitialize:
+    def test_noop_single_host(self, record_initialize):
+        assert maybe_initialize() is False
+        assert record_initialize == []
+
+    def test_explicit_args_win(self, record_initialize, clean_env):
+        # explicit args beat env vars
+        clean_env.setenv("JAX_COORDINATOR_ADDRESS", "env-host:1234")
+        clean_env.setenv("JAX_NUM_PROCESSES", "8")
+        clean_env.setenv("JAX_PROCESS_ID", "7")
+        assert maybe_initialize("arg-host:9999", 2, 1) is True
+        ((_, kw),) = record_initialize
+        assert kw == {
+            "coordinator_address": "arg-host:9999",
+            "num_processes": 2,
+            "process_id": 1,
+        }
+
+    def test_env_var_resolution(self, record_initialize, clean_env):
+        clean_env.setenv("JAX_COORDINATOR_ADDRESS", "host:1234")
+        clean_env.setenv("JAX_NUM_PROCESSES", "4")
+        clean_env.setenv("JAX_PROCESS_ID", "2")
+        assert maybe_initialize() is True
+        ((_, kw),) = record_initialize
+        assert kw == {
+            "coordinator_address": "host:1234",
+            "num_processes": 4,
+            "process_id": 2,
+        }
+
+    def test_tpu_pod_autodetect(self, record_initialize, clean_env):
+        # pod env without an explicit coordinator: argless auto-detection
+        clean_env.setenv("TPU_WORKER_HOSTNAMES", "w0,w1")
+        clean_env.setenv("TPU_WORKER_ID", "0")
+        clean_env.setenv("JAX_NUM_PROCESSES", "2")
+        assert maybe_initialize() is True
+        ((args, kw),) = record_initialize
+        assert args == () and kw == {}
+
+    def test_pod_env_without_nproc_is_noop(self, record_initialize, clean_env):
+        clean_env.setenv("TPU_WORKER_HOSTNAMES", "w0,w1")
+        clean_env.setenv("TPU_WORKER_ID", "0")
+        assert maybe_initialize() is False
+        assert record_initialize == []
+
+
+class TestPerHostBatch:
+    def test_single_process_passthrough(self):
+        assert per_host_batch(16) == 16
+
+    def test_divides(self, monkeypatch):
+        import jax
+
+        monkeypatch.setattr(jax, "process_count", lambda: 4)
+        assert per_host_batch(16) == 4
+
+    def test_indivisible_raises(self, monkeypatch):
+        import jax
+
+        monkeypatch.setattr(jax, "process_count", lambda: 3)
+        with pytest.raises(ValueError, match="not divisible"):
+            per_host_batch(16)
+
+
+_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    sys.path.insert(0, sys.argv[1])  # repo root (python path = script dir, not cwd)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from video_prediction_tpu.parallel.distributed import maybe_initialize
+    assert maybe_initialize() is True, "maybe_initialize did not fire"
+    assert jax.process_count() == 2, jax.process_count()
+    print(f"proc {jax.process_index()} ok devices={jax.device_count()}")
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_cpu_smoke(tmp_path):
+    """Real jax.distributed.initialize across 2 CPU processes, driven by the
+    same env vars train.py users would set. Skips rather than fails if the
+    box can't complete the handshake in time."""
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    port = 12765
+    procs = []
+    env_base = {k: v for k, v in os.environ.items() if k not in ENV_VARS}
+    env_base.pop("PYTHONPATH", None)  # clobbers the axon site hook
+    for pid in range(2):
+        env = dict(
+            env_base,
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            JAX_PLATFORMS="cpu",
+        )
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script), repo_root],
+                env=env,
+                cwd=repo_root,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=120)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.skip("2-process handshake timed out on this box")
+        outs.append((p.returncode, out))
+    for rc, out in outs:
+        assert rc == 0, out
+        assert "ok devices=" in out
