@@ -3,10 +3,14 @@
 
 Measures train frames/sec/chip for the flagship full SAVP model (VAE + GAN,
 ConvLSTM/CDNA generator, video SN-discriminator) on synthetic BAIR-shaped
-data (64x64x3, batch 16, context 2 -> predict 10), the configuration named
-by BASELINE.json's north star.
+data (64x64x3, context 2 -> predict 10), the configuration named by
+BASELINE.json's north star.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. Headline metric stays batch 16 (apples-to-apples vs
+the TF1 baseline estimate); the same line also carries the batch-32/64
+rows (the efficient TPU operating points — at batch 16 the 11 sequential
+scan iterations underfill the MXU) and an MFU estimate from the compiled
+step's XLA cost analysis, so perf regressions are visible in fleet units.
 
 Baseline: the reference (TF1 SAVP, alexlee-gk/video_prediction) publishes
 no throughput numbers (BASELINE.md). We use an estimated 300 frames/sec for
@@ -31,13 +35,37 @@ import numpy as np
 
 REF_BASELINE_FRAMES_PER_SEC = 300.0  # estimated TF1 GPU baseline; see docstring
 
-BATCH = 16
 SEQ_LEN = 12
 CONTEXT = 2
 SIZE = 64
+HEADLINE_BATCH = 16
+BATCHES = (16, 32, 64)
+
+# peak dense bf16 FLOPS per chip by PJRT device_kind (public spec sheets);
+# unknown kinds report mfu=None rather than a made-up number
+PEAK_BF16_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
 
 
-def main():
+def _peak_flops() -> float | None:
+    kind = jax.devices()[0].device_kind
+    # longest name first so "TPU v5 lite" matches its own entry, not "TPU v5"
+    for name, peak in sorted(PEAK_BF16_FLOPS.items(), key=lambda kv: -len(kv[0])):
+        if kind.lower().startswith(name.lower()):
+            return peak
+    return None
+
+
+def _bench_one(batch_size: int):
+    """Best-of-2-rounds step time for one batch size; returns
+    (sec/step, flops/step or None, last scalars)."""
     from video_prediction_tpu.configs.hparams import ModelHparams
     from video_prediction_tpu.models import get_model_class
     from video_prediction_tpu.train import create_train_state, make_train_step
@@ -45,7 +73,7 @@ def main():
     hp = ModelHparams(
         context_frames=CONTEXT,
         sequence_length=SEQ_LEN,
-        batch_size=BATCH,
+        batch_size=batch_size,
         l1_weight=100.0,
         kl_weight=0.01,
         nz=8,
@@ -61,7 +89,11 @@ def main():
     model = get_model_class("savp")(hp)
 
     rng = np.random.RandomState(0)
-    batch = {"images": jax.numpy.asarray(rng.rand(BATCH, SEQ_LEN, SIZE, SIZE, 3), jax.numpy.float32)}
+    batch = {
+        "images": jax.numpy.asarray(
+            rng.rand(batch_size, SEQ_LEN, SIZE, SIZE, 3), jax.numpy.float32
+        )
+    }
 
     ts = create_train_state(model, jax.random.PRNGKey(0), batch)
     step_fn = make_train_step(model)
@@ -69,6 +101,18 @@ def main():
     # warmup + compile
     ts, scalars = step_fn(ts, batch)
     jax.block_until_ready(scalars["g_loss"])
+
+    # FLOPs/step from XLA's cost analysis of the compiled executable
+    flops = None
+    try:
+        cost = step_fn.lower(ts, batch).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        f = cost.get("flops") if cost else None
+        if f and np.isfinite(f) and f > 0:
+            flops = float(f)
+    except Exception:
+        pass
 
     # two timing rounds, best wins: this environment's tunneled runtime can
     # nondeterministically flip a process into a ~200x slower synchronous
@@ -82,25 +126,51 @@ def main():
             ts, scalars = step_fn(ts, batch)
         jax.block_until_ready(scalars["g_loss"])
         dt = min(dt, time.perf_counter() - t0)
+    return dt / n_steps, flops, scalars
 
-    g_loss = float(scalars["g_loss"])
-    d_loss = float(scalars["d_loss"])
+
+def main():
+    n_chips = jax.device_count()
+    peak = _peak_flops()
+    device_kind = jax.devices()[0].device_kind
+
+    rows = {}
+    headline_fps = None
+    headline_scalars = None
+    for bs in BATCHES:
+        sec_per_step, flops, scalars = _bench_one(bs)
+        frames = bs * (SEQ_LEN - CONTEXT)
+        fps_chip = frames / sec_per_step / n_chips
+        mfu = (
+            round(flops / sec_per_step / (peak * n_chips), 4)
+            if (flops and peak)
+            else None
+        )
+        rows[f"batch{bs}"] = {
+            "frames_per_sec_per_chip": round(fps_chip, 2),
+            "ms_per_step": round(sec_per_step * 1e3, 3),
+            "mfu": mfu,
+            "flops_per_step": flops,
+        }
+        if bs == HEADLINE_BATCH:
+            headline_fps = fps_chip
+            headline_scalars = scalars
+
+    g_loss = float(headline_scalars["g_loss"])
+    d_loss = float(headline_scalars["d_loss"])
     if not (np.isfinite(g_loss) and np.isfinite(d_loss)):
         print(json.dumps({"error": f"non-finite losses g={g_loss} d={d_loss}"}), file=sys.stderr)
         sys.exit(1)
-
-    steps_per_sec = n_steps / dt
-    frames_per_step = BATCH * (SEQ_LEN - CONTEXT)
-    n_chips = jax.device_count()
-    frames_per_sec_per_chip = steps_per_sec * frames_per_step / n_chips
 
     print(
         json.dumps(
             {
                 "metric": "train_frames_per_sec_per_chip_bair64_savp",
-                "value": round(frames_per_sec_per_chip, 2),
+                "value": round(headline_fps, 2),
                 "unit": "frames/sec/chip",
-                "vs_baseline": round(frames_per_sec_per_chip / REF_BASELINE_FRAMES_PER_SEC, 3),
+                "vs_baseline": round(headline_fps / REF_BASELINE_FRAMES_PER_SEC, 3),
+                "device_kind": device_kind,
+                "rows": rows,
             }
         )
     )
