@@ -59,11 +59,14 @@ class BaseVideoDataset:
     def num_examples_per_epoch(self) -> int:
         """Count records (cached). Reference: per-dataset overrides."""
         if not hasattr(self, "_num_examples"):
-            tf = _tf()
-            n = 0
-            for f in self.filenames:
-                n += sum(1 for _ in tf.data.TFRecordDataset(f))
-            self._num_examples = n
+            try:
+                tf = _tf()
+                count = lambda f: sum(1 for _ in tf.data.TFRecordDataset(f))
+            except ImportError:
+                from video_prediction_tpu import native
+
+                count = lambda f: sum(1 for _ in native.read_records(f))
+            self._num_examples = sum(count(f) for f in self.filenames)
         return self._num_examples
 
     def parser(self, serialized) -> Dict[str, Any]:
@@ -146,8 +149,33 @@ class BaseVideoDataset:
     def make_batch(self, batch_size: int):
         return self.make_dataset(batch_size)
 
-    def make_iterator(self, batch_size: int) -> Iterator[Dict[str, np.ndarray]]:
-        """Infinite numpy-batch iterator."""
+    def _resolve_backend(self, backend: Optional[str]) -> str:
+        """tf (default when installed) | native (C++ reader, no TF).
+        Resolution: explicit arg > VP_DATA_BACKEND env > auto."""
+        backend = backend or os.environ.get("VP_DATA_BACKEND", "")
+        if backend in ("tf", "native"):
+            return backend
+        if backend:
+            raise ValueError(f"unknown data backend {backend!r} (want 'tf'|'native')")
+        try:
+            _tf()
+            return "tf"
+        except ImportError:
+            return "native"
+
+    def make_iterator(
+        self, batch_size: int, backend: Optional[str] = None
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Infinite numpy-batch iterator.
+
+        ``backend="native"`` uses the C++ TFRecord reader + numpy pipeline
+        (``data/native_loader.py``) instead of tf.data — same batch contract.
+        """
+        if self._resolve_backend(backend) == "native":
+            from video_prediction_tpu.data.native_loader import NativeVideoPipeline
+
+            yield from NativeVideoPipeline(self, batch_size)
+            return
         for batch in self.make_dataset(batch_size).as_numpy_iterator():
             yield batch
 
@@ -214,4 +242,43 @@ class VideoDataset(BaseVideoDataset):
             out["actions"] = tf.stack([parsed[self.ACTION_KEY % i] for i in range(T)])
         if self.STATE_KEY and self.hparams.use_state:
             out["states"] = tf.stack([parsed[self.STATE_KEY % i] for i in range(T)])
+        return out
+
+    def parse_example_np(self, feats: Dict[str, Any]) -> Dict[str, np.ndarray]:
+        """TF-free counterpart of ``parser``: consume the feature dict from
+        ``native.parse_example`` (C++ Example walker) and produce the same
+        ``{images uint8 [T,H,W,C], actions?, states?}`` contract, with
+        crop/scale preprocessing done in numpy (``data/native_loader.py``)."""
+        from video_prediction_tpu.data.native_loader import (
+            bilinear_resize_uint8,
+            center_crop_or_pad,
+        )
+
+        T = self.SOURCE_SEQUENCE_LENGTH
+        h, w, c = self.IMAGE_SHAPE
+        hp = self.hparams
+        frames = []
+        for i in range(T):
+            (raw,) = feats[self.IMAGE_KEY % i]
+            if self.IMAGE_ENCODING == "raw":
+                img = np.frombuffer(raw, np.uint8).reshape(h, w, c)
+            elif self.IMAGE_ENCODING in ("jpeg", "png"):
+                import io
+
+                from PIL import Image
+
+                img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+            else:
+                raise ValueError(self.IMAGE_ENCODING)
+            frames.append(img)
+        images = np.stack(frames)
+        if hp.crop_size:
+            images = center_crop_or_pad(images, hp.crop_size)
+        if hp.scale_size and images.shape[1:3] != (hp.scale_size, hp.scale_size):
+            images = bilinear_resize_uint8(images, hp.scale_size, hp.scale_size)
+        out = {"images": images}
+        if self.ACTION_KEY and hp.use_state:
+            out["actions"] = np.stack([feats[self.ACTION_KEY % i] for i in range(T)]).astype(np.float32)
+        if self.STATE_KEY and hp.use_state:
+            out["states"] = np.stack([feats[self.STATE_KEY % i] for i in range(T)]).astype(np.float32)
         return out

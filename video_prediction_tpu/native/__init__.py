@@ -1,0 +1,168 @@
+"""Native (C++) data-plane components, bound via ctypes.
+
+``tfrecord.cc`` replaces the role tf.data's C++ core plays for the reference
+(reference ``datasets/base_dataset.py`` sits on ``tf.data.TFRecordDataset``
++ ``tf.io.parse_single_example``): TFRecord framing with masked-CRC32C
+verification and a minimal ``tf.train.Example`` wire-format parser. The
+shared library is compiled with g++ on first use and cached next to the
+source (rebuilt when the source is newer).
+
+Public surface:
+  - ``available()`` -> bool (g++ or a prebuilt .so present)
+  - ``read_records(path, verify_crc=True)`` -> iterator of ``bytes``
+  - ``parse_example(record)`` -> dict of feature name ->
+    ``list[bytes] | np.ndarray(float32) | np.ndarray(int64)``
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Dict, Iterator, List, Union
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "tfrecord.cc")
+_LIB_PATH = os.path.join(_HERE, "libtfrecord.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _build() -> str:
+    """Compile the shared library (g++ -O3) if missing or stale."""
+    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
+        return _LIB_PATH
+    tmp = _LIB_PATH + f".tmp{os.getpid()}"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", tmp, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except subprocess.CalledProcessError as e:  # pragma: no cover
+        raise RuntimeError(f"native build failed: {e.stderr}") from e
+    os.replace(tmp, _LIB_PATH)  # atomic under concurrent builders
+    return _LIB_PATH
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        lib = ctypes.CDLL(_build())
+
+        lib.tfr_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.tfr_open.restype = ctypes.c_void_p
+        lib.tfr_next.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.tfr_next.restype = ctypes.c_int
+        lib.tfr_error.argtypes = [ctypes.c_void_p]
+        lib.tfr_error.restype = ctypes.c_char_p
+        lib.tfr_close.argtypes = [ctypes.c_void_p]
+
+        lib.tfrex_parse.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64]
+        lib.tfrex_parse.restype = ctypes.c_void_p
+        lib.tfrex_error.argtypes = [ctypes.c_void_p]
+        lib.tfrex_error.restype = ctypes.c_char_p
+        lib.tfrex_count.argtypes = [ctypes.c_void_p]
+        lib.tfrex_count.restype = ctypes.c_uint64
+        lib.tfrex_key.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.tfrex_key.restype = ctypes.c_char_p
+        lib.tfrex_type.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.tfrex_type.restype = ctypes.c_int
+        lib.tfrex_num_values.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.tfrex_num_values.restype = ctypes.c_uint64
+        lib.tfrex_bytes.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_uint64,
+            ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.tfrex_bytes.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.tfrex_floats.argtypes = [ctypes.c_void_p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_float)]
+        lib.tfrex_int64s.argtypes = [ctypes.c_void_p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_int64)]
+        lib.tfrex_free.argtypes = [ctypes.c_void_p]
+
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    """True when the native library is usable (prebuilt, or g++ on PATH)."""
+    if os.path.exists(_LIB_PATH):
+        return True
+    try:
+        subprocess.run(["g++", "--version"], capture_output=True, check=True)
+        return True
+    except Exception:
+        return False
+
+
+def read_records(path: str, verify_crc: bool = True) -> Iterator[bytes]:
+    """Iterate raw records of one TFRecord file (CRC-verified by default)."""
+    lib = _load()
+    h = lib.tfr_open(path.encode(), 1 if verify_crc else 0)
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        data = ctypes.POINTER(ctypes.c_uint8)()
+        n = ctypes.c_uint64()
+        while True:
+            rc = lib.tfr_next(h, ctypes.byref(data), ctypes.byref(n))
+            if rc == 0:
+                return
+            if rc < 0:
+                raise IOError(f"{path}: {lib.tfr_error(h).decode()}")
+            yield ctypes.string_at(data, n.value)
+    finally:
+        lib.tfr_close(h)
+
+
+FeatureValue = Union[List[bytes], np.ndarray]
+
+
+def parse_example(record: bytes) -> Dict[str, FeatureValue]:
+    """Parse a serialized ``tf.train.Example`` into a feature dict.
+
+    bytes_list -> ``list[bytes]``; float_list -> ``np.float32[n]``;
+    int64_list -> ``np.int64[n]``.
+    """
+    lib = _load()
+    buf = (ctypes.c_uint8 * len(record)).from_buffer_copy(record)
+    h = lib.tfrex_parse(buf, len(record))
+    try:
+        err = lib.tfrex_error(h)
+        if err:
+            raise ValueError(f"bad Example proto: {err.decode()}")
+        out: Dict[str, FeatureValue] = {}
+        for i in range(lib.tfrex_count(h)):
+            key = lib.tfrex_key(h, i).decode()
+            typ = lib.tfrex_type(h, i)
+            nv = lib.tfrex_num_values(h, i)
+            if typ == 0:
+                vals = []
+                ln = ctypes.c_uint64()
+                for j in range(nv):
+                    p = lib.tfrex_bytes(h, i, j, ctypes.byref(ln))
+                    vals.append(ctypes.string_at(p, ln.value))
+                out[key] = vals
+            elif typ == 1:
+                arr = np.empty(nv, np.float32)
+                if nv:
+                    lib.tfrex_floats(h, i, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+                out[key] = arr
+            elif typ == 2:
+                arr = np.empty(nv, np.int64)
+                if nv:
+                    lib.tfrex_int64s(h, i, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+                out[key] = arr
+        return out
+    finally:
+        lib.tfrex_free(h)
