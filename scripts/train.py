@@ -49,6 +49,13 @@ def parse_args(argv=None):
     p.add_argument("--progress_freq", type=int, default=100)
     p.add_argument("--save_freq", type=int, default=5000)
     p.add_argument("--gif_freq", type=int, default=0, help="0 -> use image_summary_freq")
+    p.add_argument(
+        "--steps_per_call",
+        type=int,
+        default=1,
+        help="optimizer steps fused into one device dispatch (lax.scan over "
+        "stacked batches); amortizes per-dispatch host/runtime overhead",
+    )
     p.add_argument("--no_tensorboard", action="store_true")
     p.add_argument("--profile_steps", default="", help="'start,stop' steps for jax.profiler trace")
     return p.parse_args(argv)
@@ -128,11 +135,13 @@ def main(argv=None):
     n_data = mesh.shape["data"]
     print(f"devices: {jax.device_count()} ({jax.devices()[0].platform}), mesh data axis: {n_data}")
 
-    train_iter = DeviceFeeder(train_data.make_iterator(hp.batch_size), mesh=mesh)
+    spc = max(1, args.steps_per_call)
+    train_iter = DeviceFeeder(train_data.make_iterator(hp.batch_size), mesh=mesh, stack=spc)
     example = next(train_iter)
+    init_example = example if spc == 1 else jax.tree_util.tree_map(lambda x: x[0], example)
 
     rng = jax.random.PRNGKey(args.seed)
-    ts = create_train_state(model, rng, jax.tree_util.tree_map(lambda x: np.asarray(x), example))
+    ts = create_train_state(model, rng, jax.tree_util.tree_map(lambda x: np.asarray(x), init_example))
     print(f"generator params: {param_count({k: v for k, v in ts.params.items() if k != 'discriminator'}):,}")
     if "discriminator" in ts.params:
         print(f"discriminator params: {param_count(ts.params['discriminator']):,}")
@@ -146,7 +155,7 @@ def main(argv=None):
         ts = ts.replace(params=warm.restore_params(ts.params))
         print(f"warm-started params from {args.checkpoint}")
 
-    train_step = make_train_step(model, mesh=mesh)
+    train_step = make_train_step(model, mesh=mesh, steps_per_call=spc)
     eval_step = make_eval_step(model, mesh=mesh)
 
     # ---- summaries ----
@@ -192,26 +201,31 @@ def main(argv=None):
     max_steps = hp.max_steps
     start_step = int(ts.step)
     t_last = time.time()
+    last_timed_step = start_step
     best_sps = 0.0
     warned_slow = False
     frames_per_step = hp.batch_size * (hp.sequence_length - hp.context_frames)
     batch = example
+    step = start_step
     try:
-        for step in range(start_step, max_steps):
-            if step == prof_start:
+        while step < max_steps:
+            if prof_start >= 0 and step <= prof_start < step + spc:
                 jax.profiler.start_trace(os.path.join(args.output_dir, "profile"))
             ts, scalars = train_step(ts, batch)
             batch = next(train_iter)  # overlap host fetch with device compute
-            if step == prof_stop:
+            prev, step = step, step + spc
+            # a freq fires when a multiple of it falls inside (prev, step]
+            crossed = lambda freq: freq and (prev // freq) != (step // freq)
+            if prof_stop >= 0 and prev <= prof_stop < step:
                 jax.block_until_ready(ts.params)
                 jax.profiler.stop_trace()
 
-            if args.progress_freq and (step + 1) % args.progress_freq == 0:
+            if crossed(args.progress_freq):
                 jax.block_until_ready(scalars["g_loss"])
                 dt = time.time() - t_last
-                sps = args.progress_freq / dt
+                sps = (step - last_timed_step) / dt
                 print(
-                    f"step {step + 1}: g_loss={float(scalars['g_loss']):.4f} "
+                    f"step {step}: g_loss={float(scalars['g_loss']):.4f} "
                     f"d_loss={float(scalars['d_loss']):.4f} "
                     f"steps/s={sps:.2f} frames/s={sps * frames_per_step:.0f}"
                 )
@@ -225,16 +239,18 @@ def main(argv=None):
                         "the process with --resume recovers full speed."
                     )
                 t_last = time.time()
-            if args.summary_freq and (step + 1) % args.summary_freq == 0:
-                write_scalars(step + 1, {k: jax.device_get(v) for k, v in scalars.items()})
-            if gif_freq and (step + 1) % gif_freq == 0:
-                gen, _ = eval_step(ts.params, batch, jax.random.fold_in(ts.rng, step))
-                write_gif(step + 1, "gen_images", jax.device_get(gen))
+                last_timed_step = step
+            if crossed(args.summary_freq):
+                write_scalars(step, {k: jax.device_get(v) for k, v in scalars.items()})
+            if crossed(gif_freq):
+                eb = batch if spc == 1 else jax.tree_util.tree_map(lambda x: x[-1], batch)
+                gen, _ = eval_step(ts.params, eb, jax.random.fold_in(ts.rng, step))
+                write_gif(step, "gen_images", jax.device_get(gen))
             for freq, n_eval, prefix in (
                 (args.eval_summary_freq, 8, "eval"),
                 (args.accum_eval_summary_freq, 64, "accum_eval"),
             ):
-                if freq and (step + 1) % freq == 0:
+                if crossed(freq):
                     val_iter = val_data.make_iterator(hp.batch_size)
                     accum = None
                     for i in range(n_eval):
@@ -242,8 +258,8 @@ def main(argv=None):
                         _, m = eval_step(ts.params, vb, jax.random.fold_in(ts.rng, i))
                         m = {k: np.asarray(jax.device_get(v)) for k, v in m.items() if np.ndim(v) == 0}
                         accum = m if accum is None else {k: accum[k] + m[k] for k in m}
-                    write_scalars(step + 1, {f"{prefix}/{k}": v / n_eval for k, v in accum.items()})
-            if args.save_freq and (step + 1) % args.save_freq == 0:
+                    write_scalars(step, {f"{prefix}/{k}": v / n_eval for k, v in accum.items()})
+            if crossed(args.save_freq):
                 ckpt.save(ts)
     finally:
         ckpt.save(ts, force=True)

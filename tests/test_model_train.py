@@ -216,3 +216,49 @@ class TestDataParallel:
         p2 = jax.tree_util.tree_leaves(ts2.params)
         for a, b in zip(p1, p2):
             np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-5)
+
+
+class TestMultiStep:
+    def test_steps_per_call_matches_sequential(self):
+        """K fused steps (lax.scan over stacked batches) == K single steps."""
+        K = 3
+        model = get_model_class("savp")(tiny_hparams())
+        batches = [make_batch(key=i) for i in range(K)]
+        ts0 = create_train_state(model, jax.random.PRNGKey(0), batches[0])
+
+        step1 = make_train_step(model, donate=False)
+        ts_seq = ts0
+        for b in batches:
+            ts_seq, s_seq = step1(ts_seq, b)
+
+        stepK = make_train_step(model, donate=False, steps_per_call=K)
+        stacked = {
+            k: jnp.stack([b[k] for b in batches]) for k in batches[0]
+        }
+        ts_multi, s_multi = stepK(ts0, stacked)
+
+        assert int(ts_multi.step) == int(ts_seq.step) == K
+        # scalars are the LAST step's
+        assert float(s_multi["g_loss"]) == pytest.approx(float(s_seq["g_loss"]), rel=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ts_seq.params),
+            jax.tree_util.tree_leaves(ts_multi.params),
+        ):
+            np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-5)
+
+    def test_steps_per_call_on_mesh(self):
+        model = get_model_class("savp")(tiny_hparams(schedule_sampling="none"))
+        K = 2
+        mesh = make_mesh()
+        step = make_train_step(model, mesh=mesh, donate=False, steps_per_call=K)
+        batch = make_batch(batch=8)
+        ts = create_train_state(model, jax.random.PRNGKey(0), batch)
+        from video_prediction_tpu.parallel.mesh import batch_sharding
+
+        stacked = {k: jnp.stack([v, v]) for k, v in batch.items()}
+        stacked = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, batch_sharding(mesh, stacked=True)), stacked
+        )
+        ts, scalars = step(ts, stacked)
+        assert int(ts.step) == K
+        assert np.isfinite(float(scalars["g_loss"]))

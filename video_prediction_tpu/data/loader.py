@@ -28,12 +28,21 @@ class DeviceFeeder:
         host_iterator: Iterator[Dict[str, Any]],
         mesh: Optional[Mesh] = None,
         prefetch: int = 2,
+        stack: int = 1,
     ):
+        """``stack=K`` groups K consecutive host batches into one device
+        array with a leading ``[K]`` axis, for multi-step-per-dispatch
+        training (``make_train_step(steps_per_call=K)``)."""
+        if stack > 1:
+            host_iterator = _stack_batches(host_iterator, stack)
         self._it = host_iterator
         # size-1 mesh: plain device_put (NamedSharding adds no information
         # and keeps arrays off the backend's pathologically slow
         # annotated-arg path; see train/step.py)
-        self._sharding = batch_sharding(mesh) if mesh is not None and mesh.size > 1 else None
+        if mesh is not None and mesh.size > 1:
+            self._sharding = batch_sharding(mesh, stacked=stack > 1)
+        else:
+            self._sharding = None
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._err: Optional[BaseException] = None
         self._stop = threading.Event()
@@ -70,3 +79,17 @@ class DeviceFeeder:
 
     def close(self):
         self._stop.set()
+
+
+def _stack_batches(it: Iterator[Dict[str, Any]], k: int) -> Iterator[Dict[str, Any]]:
+    """Group k consecutive batches into one with a leading [k] axis."""
+    import numpy as np
+
+    while True:
+        group = []
+        for _ in range(k):
+            try:
+                group.append(next(it))
+            except StopIteration:
+                return
+        yield {key: np.stack([g[key] for g in group]) for key in group[0]}

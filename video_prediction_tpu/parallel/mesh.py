@@ -44,9 +44,10 @@ def mesh_for_batch(batch_size: int, devices: Optional[Sequence[jax.Device]] = No
     return make_mesh(devices[:n])
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Sharding for arrays whose leading axis is the batch."""
-    return NamedSharding(mesh, P("data"))
+def batch_sharding(mesh: Mesh, stacked: bool = False) -> NamedSharding:
+    """Sharding for batch arrays; ``stacked=True`` for a leading ``[K]``
+    steps axis ahead of the batch dim (multi-step-per-dispatch feed)."""
+    return NamedSharding(mesh, P(None, "data") if stacked else P("data"))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

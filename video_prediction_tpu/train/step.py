@@ -20,11 +20,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from video_prediction_tpu.train.state import TrainState, make_optimizers, split_params
 
 
-def make_train_step(model, mesh: Optional[Mesh] = None, donate: bool = True):
+def make_train_step(
+    model, mesh: Optional[Mesh] = None, donate: bool = True, steps_per_call: int = 1
+):
     """Build the jitted train step for ``model``.
 
     With ``mesh``, the batch is sharded over the ``data`` axis and
     state/params are replicated; XLA emits the gradient all-reduce over ICI.
+
+    With ``steps_per_call > 1`` the returned function takes batches stacked
+    on a leading ``[K]`` axis and runs K optimizer steps in ONE device
+    dispatch via ``lax.scan`` (host-loop unrolling): per-dispatch host and
+    runtime overhead is amortized K-fold, and the returned scalars are the
+    last step's. The reference has no analog (one sess.run per step).
     """
     tx_g, tx_d = make_optimizers(model.hparams)
 
@@ -72,17 +80,30 @@ def make_train_step(model, mesh: Optional[Mesh] = None, donate: bool = True):
         }
         return new_ts, scalars
 
+    if steps_per_call > 1:
+
+        def multi_step(ts: TrainState, batches: Dict[str, jax.Array]):
+            new_ts, scalars = jax.lax.scan(train_step, ts, batches)
+            # report the last step's scalars (sliced on device)
+            return new_ts, jax.tree_util.tree_map(lambda x: x[-1], scalars)
+
+        fn = multi_step
+        batch_spec = P(None, "data")  # [K, B, ...]: shard the batch dim
+    else:
+        fn = train_step
+        batch_spec = P("data")
+
     if mesh is None or mesh.size == 1:
         # Size-1 mesh: sharding annotations are a semantic no-op, and on the
         # tunneled single-chip backend the annotated-jit path is ~1000x
         # slower (measured 2836 vs 2.4 ms/step — replicated args appear to
         # round-trip the host per call). Plain jit is identical math.
-        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+        return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
+    data = NamedSharding(mesh, batch_spec)
     return jax.jit(
-        train_step,
+        fn,
         in_shardings=(repl, data),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
