@@ -147,6 +147,39 @@ class TestGAN:
         g_leaf = jax.tree_util.tree_leaves(d_grads["generator"])
         assert all(float(jnp.max(jnp.abs(x))) == 0.0 for x in g_leaf)
 
+    def test_acvideo_discriminator_train_step(self):
+        """Action-conditioned video discriminator (reference
+        ``create_acvideo_discriminator``): trains, and its losses respond
+        to actions."""
+        hp = tiny_hparams(acvideo_sn_gan_weight=0.1, gan_loss_type="LSGAN")
+        model = get_model_class("savp")(hp)
+        batch = make_batch()
+        batch["actions"] = jax.random.uniform(jax.random.PRNGKey(7), (B, T, 4))
+        params, state = model.init_variables(jax.random.PRNGKey(0), batch)
+        assert "acvideo" in params["discriminator"]
+        total, aux = model.compute_losses(
+            params, state, batch, jax.random.PRNGKey(1), jnp.zeros((), jnp.int32)
+        )
+        assert "acvideo_gan" in aux["g_losses"]
+        assert "acvideo_gan_real" in aux["d_losses"]
+        assert np.isfinite(float(total))
+        # the disc actually consumes actions: changing them changes D loss
+        batch2 = dict(batch, actions=batch["actions"] + 1.0)
+        _, aux2 = model.compute_losses(
+            params, state, batch2, jax.random.PRNGKey(1), jnp.zeros((), jnp.int32)
+        )
+        assert float(aux2["d_loss"]) != float(aux["d_loss"])
+        ts = create_train_state(model, jax.random.PRNGKey(0), batch)
+        step = make_train_step(model)
+        ts, scalars = step(ts, batch)
+        assert np.isfinite(float(scalars["d_loss"]))
+
+    def test_acvideo_requires_actions(self):
+        hp = tiny_hparams(acvideo_sn_gan_weight=0.1)
+        model = get_model_class("savp")(hp)
+        with pytest.raises(ValueError, match="action-conditioned"):
+            model.init_variables(jax.random.PRNGKey(0), make_batch())
+
     def test_savp_full_train_step(self):
         """Full SAVP: VAE + GAN + VAE-GAN discriminator pair."""
         model = self._model(nz=4, kl_weight=0.1, video_sn_vae_gan_weight=0.1)

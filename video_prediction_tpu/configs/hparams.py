@@ -53,6 +53,12 @@ class ModelHparams:
     image_sn_vae_gan_weight: float = 0.0
     video_sn_gan_weight: float = 0.0
     video_sn_vae_gan_weight: float = 0.0
+    # action-conditioned video discriminator (reference
+    # ``savp_model.py#create_acvideo_discriminator``): the video SN-disc
+    # with per-transition actions tiled over H,W and concatenated to each
+    # clip frame's channels; requires an action-conditioned dataset
+    acvideo_sn_gan_weight: float = 0.0
+    acvideo_sn_vae_gan_weight: float = 0.0
     gan_feature_l2_weight: float = 0.0
     vae_gan_feature_l2_weight: float = 0.0
     clip_length: int = 10

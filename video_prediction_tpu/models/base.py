@@ -32,6 +32,7 @@ from video_prediction_tpu import losses as L
 from video_prediction_tpu import metrics as M
 from video_prediction_tpu.configs.hparams import ModelHparams
 from video_prediction_tpu.models.networks import (
+    ACVideoSNDiscriminator,
     ImageSNDiscriminator,
     LearnedPrior,
     PosteriorEncoder,
@@ -95,6 +96,8 @@ class VideoPredictionModel:
             self.discriminators["image"] = ImageSNDiscriminator(ndf=hp.ndf, dtype=dtype)
         if hp.video_sn_gan_weight or hp.video_sn_vae_gan_weight:
             self.discriminators["video"] = VideoSNDiscriminator(ndf=hp.ndf, dtype=dtype)
+        if hp.acvideo_sn_gan_weight or hp.acvideo_sn_vae_gan_weight:
+            self.discriminators["acvideo"] = ACVideoSNDiscriminator(ndf=hp.ndf, dtype=dtype)
         self.vgg = None
         if hp.vgg_cdist_weight:
             # training-time perceptual loss needs real VGG weights
@@ -120,6 +123,8 @@ class VideoPredictionModel:
             or hp.image_sn_vae_gan_weight
             or hp.video_sn_gan_weight
             or hp.video_sn_vae_gan_weight
+            or hp.acvideo_sn_gan_weight
+            or hp.acvideo_sn_vae_gan_weight
         )
 
     @property
@@ -157,14 +162,18 @@ class VideoPredictionModel:
         if self.discriminators:
             dparams: Dict[str, Any] = {}
             dspectral: Dict[str, Any] = {}
-            clip = self._clip(images[:, 1:], jnp.zeros((), jnp.int32))
+            start0 = jnp.zeros((), jnp.int32)
+            clip = self._clip(images[:, 1:], start0)
             for i, (dname, disc) in enumerate(sorted(self.discriminators.items())):
-                dv = disc.init(rngs[3 + i], clip)
+                extra = ()
+                if dname == "acvideo":
+                    extra = (self._clip(self._transition_actions(batch), start0),)
+                dv = disc.init(rngs[3 + i], clip, *extra)
                 dparams[dname] = dv["params"]
                 dspectral[dname] = dv.get("spectral", {})
                 if self._vae_gan_weight(dname) > 0:
                     # separate D instance for the VAE-sampled rollout
-                    dv2 = disc.init(jax.random.fold_in(rngs[3 + i], 1), clip)
+                    dv2 = disc.init(jax.random.fold_in(rngs[3 + i], 1), clip, *extra)
                     dparams[dname + "_vae"] = dv2["params"]
                     dspectral[dname + "_vae"] = dv2.get("spectral", {})
             params["discriminator"] = dparams
@@ -183,13 +192,28 @@ class VideoPredictionModel:
         return {
             "image": self.hparams.image_sn_gan_weight,
             "video": self.hparams.video_sn_gan_weight,
+            "acvideo": self.hparams.acvideo_sn_gan_weight,
         }[dname]
 
     def _vae_gan_weight(self, dname: str) -> float:
         return {
             "image": self.hparams.image_sn_vae_gan_weight,
             "video": self.hparams.video_sn_vae_gan_weight,
+            "acvideo": self.hparams.acvideo_sn_vae_gan_weight,
         }[dname]
+
+    def _transition_actions(self, batch: Dict[str, jax.Array]) -> jax.Array:
+        """Actions aligned with target frames ``images[:, 1:]`` (action t
+        drives the t -> t+1 transition). Required by the acvideo
+        discriminator; clear error when the dataset has none."""
+        actions = batch.get("actions")
+        if actions is None:
+            raise ValueError(
+                "acvideo_sn_gan_weight requires an action-conditioned "
+                "dataset (batch has no 'actions')"
+            )
+        tm1 = batch["images"].shape[1] - 1
+        return actions[:, :tm1]
 
     # ------------------------------------------------------------------ #
     # forward
@@ -306,17 +330,19 @@ class VideoPredictionModel:
         key: str,
         clips: jax.Array,
         update_spectral: bool,
+        extra: Tuple[jax.Array, ...] = (),
     ):
-        """Run discriminator ``dname`` (params under ``key``) on clips.
+        """Run discriminator ``dname`` (params under ``key``) on clips
+        (+ per-disc ``extra`` inputs, e.g. the acvideo action clip).
 
         Returns ``(logits, features, new_spectral_for_key)``.
         """
         disc = self.discriminators[dname]
         variables = {"params": params["discriminator"][key], "spectral": spectral[key]}
         if update_spectral:
-            (logits, feats), new_vars = disc.apply(variables, clips, mutable=["spectral"])
+            (logits, feats), new_vars = disc.apply(variables, clips, *extra, mutable=["spectral"])
             return logits, feats, new_vars["spectral"]
-        logits, feats = disc.apply(variables, clips)
+        logits, feats = disc.apply(variables, clips, *extra)
         return logits, feats, spectral[key]
 
     # ------------------------------------------------------------------ #
@@ -399,10 +425,15 @@ class VideoPredictionModel:
             def run_pair(dname: str, key: str, fake_frames: jax.Array, weight: float, prefix: str):
                 """real/fake D losses + generator GAN loss for one disc."""
                 fake_clip = self._clip(fake_frames, start)
+                extra = ()
+                if dname == "acvideo":
+                    action_clip = self._clip(self._transition_actions(batch), start)
+                    extra = (action_clip,)
                 # D update path: real & stop-grad fake in one batched call
                 both = jnp.concatenate([real_clip, sg(fake_clip)], axis=0)
+                extra_both = tuple(jnp.concatenate([e, e], axis=0) for e in extra)
                 logits_both, feats_both, new_sp = self.apply_discriminator(
-                    params, state["spectral"], dname, key, both, update_spectral=True
+                    params, state["spectral"], dname, key, both, update_spectral=True, extra=extra_both
                 )
                 new_spectral[key] = new_sp
                 logits_real, logits_fake = jnp.split(logits_both, 2, axis=0)
@@ -411,7 +442,7 @@ class VideoPredictionModel:
                 # G update path: gradients flow into the generator only
                 params_sg = {**params, "discriminator": params_d_sg}
                 logits_g, feats_g, _ = self.apply_discriminator(
-                    params_sg, state["spectral"], dname, key, fake_clip, update_spectral=False
+                    params_sg, state["spectral"], dname, key, fake_clip, update_spectral=False, extra=extra
                 )
                 g_losses[prefix] = weight * L.gan_loss(logits_g, 1.0, hp.gan_loss_type)
                 feat_w = hp.gan_feature_l2_weight if not key.endswith("_vae") else hp.vae_gan_feature_l2_weight

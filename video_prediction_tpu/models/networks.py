@@ -88,6 +88,45 @@ class VideoSNDiscriminator(nn.Module):
         return logits, feats
 
 
+class ACVideoSNDiscriminator(nn.Module):
+    """Action-conditioned clip discriminator (reference
+    ``savp_model.py#create_acvideo_discriminator``): the video SN-disc
+    stack with each frame's transition action tiled over H,W and
+    concatenated to the frame's channels, so D judges *controlled* motion
+    plausibility, not just motion plausibility.
+
+    Input ``clips [B, T, H, W, C]`` + ``actions [B, T, na]`` (action t is
+    the one producing clip frame t); returns ``(logits [B, 1], features)``.
+    """
+
+    ndf: int = 64
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, clips: jax.Array, actions: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
+        b, t, h, w, c = clips.shape
+        tiled = jnp.broadcast_to(
+            actions[:, :, None, None, :], (b, t, h, w, actions.shape[-1])
+        ).astype(clips.dtype)
+        x = jnp.concatenate([clips, tiled], axis=-1)
+        feats = []
+        spec = [
+            (self.ndf, (1, 3, 3), (1, 1, 1)),
+            (self.ndf, (3, 4, 4), (1, 2, 2)),
+            (self.ndf * 2, (3, 3, 3), (1, 1, 1)),
+            (self.ndf * 2, (3, 4, 4), (2, 2, 2)),
+            (self.ndf * 4, (3, 3, 3), (1, 1, 1)),
+            (self.ndf * 4, (3, 4, 4), (2, 2, 2)),
+        ]
+        for i, (f, k, s) in enumerate(spec):
+            x = SpectralConv3D(f, k, s, dtype=self.dtype, name=f"sn_conv3d{i}")(x)
+            x = lrelu(x, 0.1)
+            feats.append(x)
+        x = x.reshape(x.shape[0], -1)
+        logits = SpectralDense(1, dtype=self.dtype, name="sn_fc")(x)
+        return logits, feats
+
+
 class PosteriorEncoder(nn.Module):
     """Frame-pair latent posterior q(z_t | x_t, x_{t+1}).
 
