@@ -1,23 +1,36 @@
 #!/usr/bin/env python
 """Benchmark: SAVP training throughput on BAIR-shaped 64x64 video.
 
-Measures train frames/sec/chip for the flagship full SAVP model (VAE + GAN,
-ConvLSTM/CDNA generator, video SN-discriminator) on synthetic BAIR-shaped
-data (64x64x3, context 2 -> predict 10), the configuration named by
-BASELINE.json's north star.
+Measures sustained train frames/sec/chip for the flagship full SAVP model
+(VAE + GAN, ConvLSTM/CDNA generator, video SN-discriminator) on synthetic
+BAIR-shaped data (64x64x3, context 2 -> predict 10), the configuration
+named by BASELINE.json's north star.
 
-Prints ONE JSON line. Headline metric stays batch 16 (apples-to-apples vs
-the TF1 baseline estimate); the same line also carries the batch-32/64
-rows (the efficient TPU operating points — at batch 16 the 11 sequential
-scan iterations underfill the MXU) and an MFU estimate from the compiled
-step's XLA cost analysis, so perf regressions are visible in fleet units.
+Prints ONE JSON line. Headline metric is batch 16 (apples-to-apples vs
+the TF1 baseline estimate); the same line carries the batch-32/64 rows
+(the efficient TPU operating points) and an MFU estimate from the
+compiled step's XLA cost analysis.
+
+TIMING METHODOLOGY (corrected in round 2 — r01's number was wrong):
+``jax.block_until_ready`` does NOT synchronize with device execution on
+this tunneled runtime — calibration: a chain of 8192^3 bf16 matmuls
+"timed" at 19,000 TFLOPS with block-only sync on a 197-TFLOPS chip, i.e.
+block returns at enqueue. Timing here therefore chains N train steps
+(each step's TrainState feeds the next, so nothing can be skipped) and
+fetches the final loss *value*, which cannot materialize before every
+step has executed. Under this honest clock the same chip sustains ~146
+TFLOPS on chained matmuls, so the harness is not the bottleneck.
+BENCH_r01's 78,784 frames/s was the *enqueue* rate of the async pipe;
+the sustained execution rate at batch 16 is ~365 frames/s/chip. The
+previously documented "sticky ~441 ms/step slow mode" was this same
+illusion: the async pipe absorbs the first ~20-40 steps, then
+backpressure exposes the real execution rate.
 
 Baseline: the reference (TF1 SAVP, alexlee-gk/video_prediction) publishes
-no throughput numbers (BASELINE.md). We use an estimated 300 frames/sec for
-the TF1 implementation on its 2018-era GPU (batch 16 x 10 predicted frames
-at ~1.9 steps/sec, typical for this model class on a Titan Xp/P100) as the
-denominator; BASELINE.md records this as an estimate to be re-measured if
-the reference becomes runnable. vs_baseline = ours / 300.
+no throughput numbers (BASELINE.md). We use an estimated 300 frames/sec
+for the TF1 implementation on its 2018-era GPU (batch 16 x 10 predicted
+frames at ~1.9 steps/sec, typical for this model class on a Titan Xp/
+P100) as the denominator. vs_baseline = ours / 300.
 """
 
 from __future__ import annotations
@@ -63,9 +76,11 @@ def _peak_flops() -> float | None:
     return None
 
 
-def _bench_one(batch_size: int):
-    """Best-of-2-rounds step time for one batch size; returns
-    (sec/step, flops/step or None, last scalars)."""
+def _bench_one(batch_size: int, n_steps: int = 30):
+    """Sustained sec/step over ``n_steps`` chained steps, synced by
+    fetching the final loss value (see module docstring — block_until_ready
+    alone measures enqueue, not execution, on this runtime). Best of 2
+    rounds guards against host-side noise."""
     from video_prediction_tpu.configs.hparams import ModelHparams
     from video_prediction_tpu.models import get_model_class
     from video_prediction_tpu.train import create_train_state, make_train_step
@@ -98,9 +113,9 @@ def _bench_one(batch_size: int):
     ts = create_train_state(model, jax.random.PRNGKey(0), batch)
     step_fn = make_train_step(model)
 
-    # warmup + compile
+    # warmup + compile; value fetch = real sync
     ts, scalars = step_fn(ts, batch)
-    jax.block_until_ready(scalars["g_loss"])
+    float(scalars["g_loss"])
 
     # FLOPs/step from XLA's cost analysis of the compiled executable
     flops = None
@@ -114,19 +129,14 @@ def _bench_one(batch_size: int):
     except Exception:
         pass
 
-    # two timing rounds, best wins: this environment's tunneled runtime can
-    # nondeterministically flip a process into a ~200x slower synchronous
-    # round-trip mode (observed: same executable+inputs, 1.7ms then 441ms);
-    # taking the best round reports the hardware's actual capability.
-    n_steps = 20
     dt = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
         for _ in range(n_steps):
             ts, scalars = step_fn(ts, batch)
-        jax.block_until_ready(scalars["g_loss"])
+        g = float(scalars["g_loss"])  # forces execution of the whole chain
         dt = min(dt, time.perf_counter() - t0)
-    return dt / n_steps, flops, scalars
+    return dt / n_steps, flops, g, float(scalars["d_loss"])
 
 
 def main():
@@ -136,9 +146,9 @@ def main():
 
     rows = {}
     headline_fps = None
-    headline_scalars = None
+    headline_losses = None
     for bs in BATCHES:
-        sec_per_step, flops, scalars = _bench_one(bs)
+        sec_per_step, flops, g_loss, d_loss = _bench_one(bs, n_steps=30 if bs <= 32 else 20)
         frames = bs * (SEQ_LEN - CONTEXT)
         fps_chip = frames / sec_per_step / n_chips
         mfu = (
@@ -154,10 +164,9 @@ def main():
         }
         if bs == HEADLINE_BATCH:
             headline_fps = fps_chip
-            headline_scalars = scalars
+            headline_losses = (g_loss, d_loss)
 
-    g_loss = float(headline_scalars["g_loss"])
-    d_loss = float(headline_scalars["d_loss"])
+    g_loss, d_loss = headline_losses
     if not (np.isfinite(g_loss) and np.isfinite(d_loss)):
         print(json.dumps({"error": f"non-finite losses g={g_loss} d={d_loss}"}), file=sys.stderr)
         sys.exit(1)
@@ -170,6 +179,7 @@ def main():
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(headline_fps / REF_BASELINE_FRAMES_PER_SEC, 3),
                 "device_kind": device_kind,
+                "timing": "sustained, value-fetch synced (r01 measured async enqueue rate; see bench.py docstring)",
                 "rows": rows,
             }
         )

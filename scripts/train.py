@@ -202,8 +202,6 @@ def main(argv=None):
     start_step = int(ts.step)
     t_last = time.time()
     last_timed_step = start_step
-    best_sps = 0.0
-    warned_slow = False
     frames_per_step = hp.batch_size * (hp.sequence_length - hp.context_frames)
     batch = example
     step = start_step
@@ -221,23 +219,17 @@ def main(argv=None):
                 jax.profiler.stop_trace()
 
             if crossed(args.progress_freq):
-                jax.block_until_ready(scalars["g_loss"])
+                # fetch VALUES before reading the clock: on async runtimes
+                # block_until_ready can return at enqueue, and only a value
+                # fetch proves the chained steps executed (the first window
+                # still absorbs the pipe-fill; later windows are sustained)
+                g_loss, d_loss = float(scalars["g_loss"]), float(scalars["d_loss"])
                 dt = time.time() - t_last
                 sps = (step - last_timed_step) / dt
                 print(
-                    f"step {step}: g_loss={float(scalars['g_loss']):.4f} "
-                    f"d_loss={float(scalars['d_loss']):.4f} "
+                    f"step {step}: g_loss={g_loss:.4f} d_loss={d_loss:.4f} "
                     f"steps/s={sps:.2f} frames/s={sps * frames_per_step:.0f}"
                 )
-                best_sps = max(best_sps, sps)
-                if sps < best_sps / 50 and not warned_slow:
-                    warned_slow = True
-                    print(
-                        "WARNING: step rate collapsed >50x vs this run's best — on "
-                        "tunneled single-chip runtimes this is a known sticky runtime "
-                        "mode (see ARCHITECTURE.md 'known env issues'); restarting "
-                        "the process with --resume recovers full speed."
-                    )
                 t_last = time.time()
                 last_timed_step = step
             if crossed(args.summary_freq):
