@@ -53,6 +53,11 @@ CONTEXT = 2
 SIZE = 64
 HEADLINE_BATCH = 16
 BATCHES = (16, 32, 64)
+# scan_unroll=0 fully unrolls the T-1 time loop: XLA fuses/pipelines across
+# timesteps — measured 1.71x at batch 16 and 1.33x at batch 32 (honest
+# clock). At batch 64 the fully-unrolled graph exceeds this env's remote
+# compile helper, so that row keeps the rolled scan.
+UNROLL = {16: 0, 32: 0, 64: 1}
 
 # peak dense bf16 FLOPS per chip by PJRT device_kind (public spec sheets);
 # unknown kinds report mfu=None rather than a made-up number
@@ -100,6 +105,7 @@ def _bench_one(batch_size: int, n_steps: int = 30):
         num_transformed_images=4,
         schedule_sampling_k=900.0,
         compute_dtype="bfloat16",
+        scan_unroll=UNROLL.get(batch_size, 1),
     )
     model = get_model_class("savp")(hp)
 
@@ -117,17 +123,23 @@ def _bench_one(batch_size: int, n_steps: int = 30):
     ts, scalars = step_fn(ts, batch)
     float(scalars["g_loss"])
 
-    # FLOPs/step from XLA's cost analysis of the compiled executable
+    # FLOPs/step from XLA's cost analysis — only meaningful on the fully
+    # unrolled graph (a rolled lax.scan's cost analysis counts the loop
+    # body ONCE, undercounting the step ~(T-1)x). Rows that keep the
+    # rolled scan get flops scaled linearly in batch from an unrolled
+    # row by the caller. Includes remat recompute (executed hardware
+    # flops, not model flops).
     flops = None
-    try:
-        cost = step_fn.lower(ts, batch).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        f = cost.get("flops") if cost else None
-        if f and np.isfinite(f) and f > 0:
-            flops = float(f)
-    except Exception:
-        pass
+    if hp.scan_unroll == 0:
+        try:
+            cost = step_fn.lower(ts, batch).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            f = cost.get("flops") if cost else None
+            if f and np.isfinite(f) and f > 0:
+                flops = float(f)
+        except Exception:
+            pass
 
     dt = float("inf")
     for _ in range(2):
@@ -147,24 +159,31 @@ def main():
     rows = {}
     headline_fps = None
     headline_losses = None
+    flops_per_example = None  # from an unrolled row; linear in batch
+    results = []
     for bs in BATCHES:
         sec_per_step, flops, g_loss, d_loss = _bench_one(bs, n_steps=30 if bs <= 32 else 20)
+        results.append((bs, sec_per_step, flops))
+        if flops and flops_per_example is None:
+            flops_per_example = flops / bs
+        if bs == HEADLINE_BATCH:
+            headline_fps = bs * (SEQ_LEN - CONTEXT) / sec_per_step / n_chips
+            headline_losses = (g_loss, d_loss)
+    for bs, sec_per_step, flops in results:
         frames = bs * (SEQ_LEN - CONTEXT)
         fps_chip = frames / sec_per_step / n_chips
+        est_flops = flops or (flops_per_example * bs if flops_per_example else None)
         mfu = (
-            round(flops / sec_per_step / (peak * n_chips), 4)
-            if (flops and peak)
+            round(est_flops / sec_per_step / (peak * n_chips), 4)
+            if (est_flops and peak)
             else None
         )
         rows[f"batch{bs}"] = {
             "frames_per_sec_per_chip": round(fps_chip, 2),
             "ms_per_step": round(sec_per_step * 1e3, 3),
             "mfu": mfu,
-            "flops_per_step": flops,
+            "flops_per_step": est_flops,
         }
-        if bs == HEADLINE_BATCH:
-            headline_fps = fps_chip
-            headline_losses = (g_loss, d_loss)
 
     g_loss, d_loss = headline_losses
     if not (np.isfinite(g_loss) and np.isfinite(d_loss)):

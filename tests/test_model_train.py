@@ -251,6 +251,22 @@ class TestDataParallel:
             np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-5)
 
 
+class TestScanUnroll:
+    def test_full_unroll_matches_rolled(self):
+        """scan_unroll=0 (full time-loop unroll, the fast TPU path) is a
+        pure codegen change: outputs match the rolled scan."""
+        batch = make_batch()
+        outs = []
+        for unroll in (1, 0):
+            model = get_model_class("savp")(tiny_hparams(scan_unroll=unroll))
+            params, _ = model.init_variables(jax.random.PRNGKey(0), batch)
+            out = model.forward(
+                params, batch, jax.random.PRNGKey(1), jnp.zeros((), jnp.int32), train=True
+            )
+            outs.append(np.array(out["gen_images"]))
+        np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
+
+
 class TestMultiStep:
     def test_steps_per_call_matches_sequential(self):
         """K fused steps (lax.scan over stacked batches) == K single steps."""

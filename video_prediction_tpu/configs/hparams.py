@@ -105,7 +105,9 @@ class ModelHparams:
     # (jax.checkpoint on the scanned cell; SURVEY §0 HBM-bandwidth guidance)
     remat: bool = True
     # unroll factor of the time scan (trades compile time/code size for
-    # less per-iteration loop overhead on short rollouts)
+    # cross-timestep fusion); 0 = fully unroll the T-1 loop, which is the
+    # fastest option measured on TPU for these short rollouts (1.7x at
+    # batch 16 — XLA pipelines across timesteps; see ARCHITECTURE.md)
     scan_unroll: int = 1
 
     def replace(self, **kw) -> "ModelHparams":

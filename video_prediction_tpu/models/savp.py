@@ -333,13 +333,17 @@ class SAVPGenerator(nn.Module):
             xs["state"] = jnp.moveaxis(states[:, : t - 1], 1, 0)
 
         body = nn.remat(_cell_step, prevent_cse=False) if hp.remat else _cell_step
+        # scan_unroll=0 -> fully unroll the time loop: XLA then fuses and
+        # pipelines across timesteps (measured 1.7x at batch 16, see
+        # ARCHITECTURE.md perf notes); remat still bounds activation memory
+        unroll = (t - 1) if hp.scan_unroll == 0 else hp.scan_unroll
         scan = nn.scan(
             body,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=0,
             out_axes=0,
-            unroll=hp.scan_unroll,
+            unroll=unroll,
         )
         carry, outs = scan(cell, carry0, xs)
 
