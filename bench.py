@@ -56,8 +56,9 @@ BATCHES = (16, 32, 64)
 # scan_unroll=0 fully unrolls the T-1 time loop: XLA fuses/pipelines across
 # timesteps — measured 1.71x at batch 16 and 1.33x at batch 32 (honest
 # clock). At batch 64 the fully-unrolled graph exceeds this env's remote
-# compile helper, so that row keeps the rolled scan.
-UNROLL = {16: 0, 32: 0, 64: 1}
+# compile helper; unroll=6 is the best compiling point there (897 vs 861
+# frames/s rolled).
+UNROLL = {16: 0, 32: 0, 64: 6}
 
 # peak dense bf16 FLOPS per chip by PJRT device_kind (public spec sheets);
 # unknown kinds report mfu=None rather than a made-up number

@@ -42,3 +42,49 @@ class TestHTML:
         content = open(path).read()
         assert "<h3>h</h3>" in content and "a.gif" in content
         assert os.path.isdir(html.get_image_dir())
+
+
+class TestTraceSummary:
+    def _write_trace(self, tmp_path, gz=True):
+        import gzip
+        import json
+
+        events = [
+            {"ph": "M", "pid": 1, "tid": 0, "name": "thread_name", "args": {"name": "XLA Modules"}},
+            {"ph": "M", "pid": 1, "tid": 1, "name": "thread_name", "args": {"name": "XLA Ops"}},
+            {"ph": "X", "pid": 1, "tid": 0, "name": "jit_step(1)", "dur": 1000,
+             "args": {"device_duration_ps": "2000000000"}},
+            {"ph": "X", "pid": 1, "tid": 0, "name": "jit_step(1)", "dur": 1000,
+             "args": {"device_duration_ps": "2000000000"}},
+            # two fusions with ids -> same bucket; 1 ms each, 1 GB each
+            {"ph": "X", "pid": 1, "tid": 1, "name": "fusion.12", "dur": 1000,
+             "args": {"device_duration_ps": "1000000000", "bytes_accessed": "1000000000"}},
+            {"ph": "X", "pid": 1, "tid": 1, "name": "fusion.34", "dur": 1000,
+             "args": {"device_duration_ps": "1000000000", "bytes_accessed": "1000000000"}},
+            {"ph": "X", "pid": 1, "tid": 1, "name": "copy-done.5", "dur": 10,
+             "args": {"device_duration_ps": "500000000", "bytes_accessed": "0"}},
+        ]
+        sub = tmp_path / "plugins" / "profile" / "run1"
+        sub.mkdir(parents=True)
+        p = sub / ("t.trace.json.gz" if gz else "t.trace.json")
+        raw = json.dumps({"traceEvents": events})
+        if gz:
+            with gzip.open(p, "wt") as f:
+                f.write(raw)
+        else:
+            p.write_text(raw)
+        return str(p)
+
+    def test_op_table_aggregates_by_op_type(self, tmp_path):
+        from video_prediction_tpu.utils.trace_summary import find_trace_file, format_table, op_table
+
+        path = self._write_trace(tmp_path)
+        assert find_trace_file(str(tmp_path)) == path
+        total, steps, rows = op_table(path)
+        assert steps == 2
+        assert abs(total - 2.5) < 1e-6  # 2x1ms fusion + 0.5ms copy-done
+        top = rows[0]
+        assert top["name"] == "fusion" and top["count"] == 2
+        assert abs(top["gbps"] - 1000.0) < 1e-6  # 2 GB in 2 ms
+        table = format_table(total, steps, rows)
+        assert "fusion" in table and "ms/step" in table
