@@ -15,14 +15,15 @@ XLA + Pallas/Mosaic).
 All kernels take ``interpret=`` for CPU-mode testing; ``use_pallas()``
 gates the production path to TPU backends.
 
-Status on this build's tunneled-TPU remote-compile pipeline (verified by
-probing): trivial kernels, grid/None-dim blocks, in-kernel pad, and
-``composite_fused`` all compile and match XLA on hardware; the CDNA kernel
-is rejected by the remote Mosaic helper (HTTP 500) in both the broadcast
-and matmul formulations — apparently any 1-D intermediate. The production
-CDNA path is therefore the XLA tap-accumulation in ``ops/cdna.py`` (which
-also measured faster end-to-end); these kernels remain A/B-tested in
-interpret mode for when a full Mosaic pipeline is available.
+Status on this build's tunneled-TPU remote-compile pipeline (re-probed
+round 2): trivial kernels still compile and run on hardware, but BOTH
+kernels below are rejected by the remote Mosaic helper (HTTP 500) — the
+CDNA kernel even after reformulating every intermediate as 2-D, and
+``composite_fused`` (which compiled on an earlier helper version). The
+production CDNA path is therefore the XLA tap-accumulation in
+``ops/cdna.py`` (which also measured faster end-to-end); these kernels
+remain A/B-tested in interpret mode for when a full Mosaic pipeline is
+available.
 """
 
 from __future__ import annotations
@@ -60,7 +61,9 @@ def _cdna_kernel(img_ref, kern_ref, out_ref, taps_ref):
     for i in range(kh):
         for j in range(kw):
             tap = jax.lax.slice(padded, (i, j, 0), (i + h, j + w, c))
-            taps_ref[i * kw + j, :] = tap.reshape(h * w * c)
+            # strictly 2-D shapes: this remote Mosaic pipeline rejects any
+            # 1-D intermediate (reshape(h*w*c) / 1-D row writes)
+            taps_ref[i * kw + j : i * kw + j + 1, :] = tap.reshape(1, h * w * c)
     kern = kern_ref[:].astype(jnp.float32)  # [K2, N]
     out = jax.lax.dot_general(
         kern,
