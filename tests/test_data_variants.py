@@ -93,3 +93,24 @@ class TestUCF101ViaGenericConverter:
         batch = next(ds.make_iterator(2))
         assert batch["images"].shape == (2, 14, 64, 64, 3)
         assert batch["images"].dtype == np.uint8
+
+
+class TestCartgripperSchema:
+    def test_roundtrip(self, tmp_path):
+        d = tmp_path / "train"
+        d.mkdir()
+        rng = np.random.RandomState(0)
+        with tf.io.TFRecordWriter(str(d / "r.tfrecord")) as w:
+            feat = {}
+            for i in range(30):
+                img = rng.randint(0, 256, (8, 8, 3), np.uint8)
+                feat[f"{i}/image_view0/encoded"] = _bytes(img.tobytes())
+                feat[f"{i}/action"] = _floats(rng.rand(5))
+                feat[f"{i}/endeffector_pos"] = _floats(rng.rand(6))
+            w.write(tf.train.Example(features=tf.train.Features(feature=feat)).SerializeToString())
+        cls = _small(get_dataset_class("cartgripper"), 8)
+        ds = cls(str(d), mode="test", hparams=DatasetHparams(sequence_length=15, use_state=True))
+        batch = next(ds.make_iterator(1))
+        assert batch["images"].shape == (1, 15, 8, 8, 3)
+        assert batch["actions"].shape == (1, 15, 5)
+        assert batch["states"].shape == (1, 15, 6)

@@ -1,6 +1,7 @@
 """Dataset registry (reference ``video_prediction/datasets/__init__.py#
 get_dataset_class``): ``bair``/``softmotion``, ``kth``, ``ucf101``,
-``sv2p``, ``google_robot``, plus our file-free ``synthetic``."""
+``sv2p``, ``google_robot``, ``cartgripper``, plus our file-free
+``synthetic``."""
 
 from video_prediction_tpu.data.bair import SoftmotionVideoDataset  # noqa: F401
 from video_prediction_tpu.data.base import BaseVideoDataset, VideoDataset  # noqa: F401
@@ -8,6 +9,7 @@ from video_prediction_tpu.data.kth import KTHVideoDataset  # noqa: F401
 from video_prediction_tpu.data.loader import DeviceFeeder  # noqa: F401
 from video_prediction_tpu.data.synthetic import SyntheticVideoDataset  # noqa: F401
 from video_prediction_tpu.data.variants import (  # noqa: F401
+    CartgripperVideoDataset,
     GoogleRobotVideoDataset,
     SV2PVideoDataset,
     UCF101VideoDataset,
@@ -20,6 +22,7 @@ _DATASETS = {
     "ucf101": UCF101VideoDataset,
     "sv2p": SV2PVideoDataset,
     "google_robot": GoogleRobotVideoDataset,
+    "cartgripper": CartgripperVideoDataset,
     "synthetic": SyntheticVideoDataset,
 }
 

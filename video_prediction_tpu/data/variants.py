@@ -70,3 +70,28 @@ class GoogleRobotVideoDataset(VideoDataset):
         long_sequence_length=15,
         use_state=False,
     )
+
+
+class CartgripperVideoDataset(VideoDataset):
+    """Sawyer cart-gripper records from the visual-MPC line of work
+    (reference ``cartgripper_dataset.py``, SURVEY §2.2 — tagged uncertain
+    there; schema reconstructed from the visual_mpc record format and
+    unverifiable against the empty reference mount: per-frame
+    ``%d/image_view0/encoded`` raw bytes, 5-D actions (x, y, z, rotation,
+    gripper), 6-D low-dim states). Class attrs are the single override
+    point if real records differ."""
+
+    IMAGE_KEY = "%d/image_view0/encoded"
+    IMAGE_SHAPE = (48, 64, 3)
+    IMAGE_ENCODING = "raw"
+    ACTION_KEY = "%d/action"
+    ACTION_DIM = 5
+    STATE_KEY = "%d/endeffector_pos"
+    STATE_DIM = 6
+    SOURCE_SEQUENCE_LENGTH = 30
+
+    default_hparams = DatasetHparams(
+        context_frames=2,
+        sequence_length=15,
+        long_sequence_length=30,
+    )
