@@ -204,3 +204,28 @@ class TestGenerateCLI:
         )
         out = os.path.join(results, "synthetic", "savp", "generated")
         assert glob.glob(os.path.join(out, "*.gif"))
+
+
+class TestCombineResultsCLI:
+    def test_merge_and_collision_rules(self, tmp_path):
+        import combine_results as comb_cli
+
+        a = tmp_path / "a" / "synthetic" / "savp"
+        b = tmp_path / "b" / "synthetic" / "savp"
+        a.mkdir(parents=True)
+        b.mkdir(parents=True)
+        (a / "psnr.txt").write_text("1.0\n")
+        (b / "psnr.txt").write_text("2.0\n")
+        (b / "ssim.txt").write_text("0.5\n")
+
+        out = tmp_path / "merged"
+        comb_cli.main([str(tmp_path / "a"), str(tmp_path / "b"), "--output_dir", str(out)])
+        dst = out / "synthetic" / "savp"
+        assert (dst / "psnr.txt").read_text() == "2.0\n"  # later root wins
+        assert (dst / "ssim.txt").read_text() == "0.5\n"
+
+        out2 = tmp_path / "merged_keep"
+        comb_cli.main(
+            [str(tmp_path / "a"), str(tmp_path / "b"), "--output_dir", str(out2), "--keep_first"]
+        )
+        assert (out2 / "synthetic" / "savp" / "psnr.txt").read_text() == "1.0\n"
