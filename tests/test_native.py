@@ -132,3 +132,48 @@ class TestNumpyPreprocessParity:
             ours = center_crop_or_pad(img, size)
             theirs = tf.image.resize_with_crop_or_pad(img, size, size).numpy()
             np.testing.assert_array_equal(ours, theirs)
+
+
+class TestNativeJpegCodec:
+    def test_decode_matches_pil(self, tmp_path):
+        import io
+
+        from PIL import Image
+
+        from video_prediction_tpu import native
+
+        if not native.codec_available():
+            pytest.skip("libjpeg/g++ unavailable")
+        rng = np.random.RandomState(0)
+        arr = rng.randint(0, 256, (24, 32, 3), np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+        data = buf.getvalue()
+        ours = native.decode_jpeg(data)
+        theirs = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        assert ours.shape == theirs.shape == (24, 32, 3)
+        # both are IDCT implementations; allow small per-pixel wiggle
+        assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2
+
+    def test_grayscale_upsamples_to_rgb(self):
+        import io
+
+        from PIL import Image
+
+        from video_prediction_tpu import native
+
+        if not native.codec_available():
+            pytest.skip("libjpeg/g++ unavailable")
+        arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        buf = io.BytesIO()
+        Image.fromarray(arr, mode="L").save(buf, format="JPEG")
+        out = native.decode_jpeg(buf.getvalue())
+        assert out.shape == (8, 8, 3)
+
+    def test_bad_input_raises(self):
+        from video_prediction_tpu import native
+
+        if not native.codec_available():
+            pytest.skip("libjpeg/g++ unavailable")
+        with pytest.raises(ValueError, match="jpeg decode failed"):
+            native.decode_jpeg(b"not a jpeg at all")

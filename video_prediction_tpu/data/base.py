@@ -262,7 +262,18 @@ class VideoDataset(BaseVideoDataset):
             (raw,) = feats[self.IMAGE_KEY % i]
             if self.IMAGE_ENCODING == "raw":
                 img = np.frombuffer(raw, np.uint8).reshape(h, w, c)
-            elif self.IMAGE_ENCODING in ("jpeg", "png"):
+            elif self.IMAGE_ENCODING == "jpeg":
+                from video_prediction_tpu import native
+
+                if native.codec_available():
+                    img = native.decode_jpeg(raw)  # C++ libjpeg, no PIL
+                else:  # pragma: no cover - fallback when libjpeg is absent
+                    import io
+
+                    from PIL import Image
+
+                    img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+            elif self.IMAGE_ENCODING == "png":
                 import io
 
                 from PIL import Image

@@ -7,11 +7,15 @@ verification and a minimal ``tf.train.Example`` wire-format parser. The
 shared library is compiled with g++ on first use and cached next to the
 source (rebuilt when the source is newer).
 
+``imagecodec.cc`` (libjpeg) decodes JPEG frames without PIL — the role
+``tf.image.decode_image``'s C++ kernel plays for the reference.
+
 Public surface:
   - ``available()`` -> bool (g++ or a prebuilt .so present)
   - ``read_records(path, verify_crc=True)`` -> iterator of ``bytes``
   - ``parse_example(record)`` -> dict of feature name ->
     ``list[bytes] | np.ndarray(float32) | np.ndarray(int64)``
+  - ``codec_available()`` / ``decode_jpeg(data)`` -> ``uint8 [H,W,3]``
 """
 
 from __future__ import annotations
@@ -27,23 +31,31 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "tfrecord.cc")
 _LIB_PATH = os.path.join(_HERE, "libtfrecord.so")
+_CODEC_SRC = os.path.join(_HERE, "imagecodec.cc")
+_CODEC_LIB_PATH = os.path.join(_HERE, "libimagecodec.so")
 
 _lib = None
+_codec_lib = None
+_codec_failed = False
 _lib_lock = threading.Lock()
 
 
-def _build() -> str:
-    """Compile the shared library (g++ -O3) if missing or stale."""
-    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
-        return _LIB_PATH
-    tmp = _LIB_PATH + f".tmp{os.getpid()}"
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", tmp, _SRC]
+def _build_lib(src: str, lib_path: str, extra_link: tuple = ()) -> str:
+    """Compile a shared library (g++ -O3) if missing or stale."""
+    if os.path.exists(lib_path) and os.path.getmtime(lib_path) >= os.path.getmtime(src):
+        return lib_path
+    tmp = lib_path + f".tmp{os.getpid()}"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", tmp, src, *extra_link]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
     except subprocess.CalledProcessError as e:  # pragma: no cover
         raise RuntimeError(f"native build failed: {e.stderr}") from e
-    os.replace(tmp, _LIB_PATH)  # atomic under concurrent builders
-    return _LIB_PATH
+    os.replace(tmp, lib_path)  # atomic under concurrent builders
+    return lib_path
+
+
+def _build() -> str:
+    return _build_lib(_SRC, _LIB_PATH)
 
 
 def _load():
@@ -123,6 +135,62 @@ def read_records(path: str, verify_crc: bool = True) -> Iterator[bytes]:
             yield ctypes.string_at(data, n.value)
     finally:
         lib.tfr_close(h)
+
+
+def _load_codec():
+    """Bind the JPEG codec library; None when it can't build (no libjpeg)."""
+    global _codec_lib, _codec_failed
+    if _codec_lib is not None or _codec_failed:
+        return _codec_lib
+    with _lib_lock:
+        if _codec_lib is not None or _codec_failed:
+            return _codec_lib
+        try:
+            lib = ctypes.CDLL(_build_lib(_CODEC_SRC, _CODEC_LIB_PATH, ("-ljpeg",)))
+        except (RuntimeError, OSError):
+            _codec_failed = True
+            return None
+        lib.imgc_jpeg_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_char_p,
+            ctypes.c_uint64,
+        ]
+        lib.imgc_jpeg_decode.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.imgc_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        _codec_lib = lib
+        return _codec_lib
+
+
+def codec_available() -> bool:
+    """True when the native JPEG decoder is usable on this box."""
+    return _load_codec() is not None
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode JPEG bytes to ``uint8 [H, W, 3]`` (RGB) via libjpeg."""
+    lib = _load_codec()
+    if lib is None:
+        raise RuntimeError("native JPEG codec unavailable (libjpeg or g++ missing)")
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    err = ctypes.create_string_buffer(256)
+    p = lib.imgc_jpeg_decode(
+        buf, len(data), ctypes.byref(h), ctypes.byref(w), ctypes.byref(c), err, 256
+    )
+    if not p:
+        raise ValueError(f"jpeg decode failed: {err.value.decode()}")
+    try:
+        n = h.value * w.value * c.value
+        arr = np.ctypeslib.as_array(p, shape=(n,)).copy().reshape(h.value, w.value, c.value)
+    finally:
+        lib.imgc_free(p)
+    return arr
 
 
 FeatureValue = Union[List[bytes], np.ndarray]
