@@ -215,7 +215,9 @@ def main(argv=None):
             # a freq fires when a multiple of it falls inside (prev, step]
             crossed = lambda freq: freq and (prev // freq) != (step // freq)
             if prof_stop >= 0 and prev <= prof_stop < step:
-                jax.block_until_ready(ts.params)
+                # fetch a VALUE before stopping: block_until_ready can
+                # return at enqueue on async runtimes, truncating the trace
+                jax.device_get(scalars["g_loss"])
                 jax.profiler.stop_trace()
 
             if crossed(args.progress_freq):
