@@ -84,6 +84,36 @@ class TestTrainCLI:
             dhp = json.load(f)
         assert dhp["sequence_length"] == 5 and dhp["context_frames"] == 3
 
+    def test_steps_per_call_loop(self, tmp_path):
+        """The fused-dispatch loop advances the step counter across the
+        K-step window and still fires save/progress freqs and resume."""
+        import train as train_cli
+
+        out = str(tmp_path / "spc_run")
+        common = [
+            "--dataset", "synthetic",
+            "--dataset_hparams", "sequence_length=4,context_frames=2",
+            "--model", "savp",
+            "--output_dir", out,
+            "--steps_per_call", "2",
+            "--save_freq", "4",
+            "--progress_freq", "2",
+            "--summary_freq", "0",
+            "--eval_summary_freq", "0",
+            "--image_summary_freq", "0",
+            "--no_tensorboard",
+        ]
+        train_cli.main(["--model_hparams", TINY.replace("max_steps=3", "max_steps=6")] + common)
+        ckpts = glob.glob(os.path.join(out, "checkpoints", "*"))
+        assert ckpts, "no checkpoints written under steps_per_call"
+        # resume continues from step 6 to 8 in one fused call
+        train_cli.main(
+            ["--model_hparams", TINY.replace("max_steps=3", "max_steps=8"), "--resume"] + common
+        )
+        from video_prediction_tpu.train.checkpoint import CheckpointManager
+
+        assert CheckpointManager(os.path.join(out, "checkpoints")).latest_step() == 8
+
     def test_resume(self, run_dir):
         import train as train_cli
 
