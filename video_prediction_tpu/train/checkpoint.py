@@ -64,7 +64,18 @@ class CheckpointManager:
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
-        return self._mgr.restore(step)
+        # Template-less restore is deliberate here (eval/warm-start read the
+        # raw tree and merge by path+shape); orbax warns loudly about the
+        # missing target tree on every call — silence just that.
+        import logging
+
+        absl_logger = logging.getLogger("absl")
+        prev = absl_logger.level
+        absl_logger.setLevel(logging.ERROR)
+        try:
+            return self._mgr.restore(step)
+        finally:
+            absl_logger.setLevel(prev)
 
     def close(self):
         self._mgr.close()
