@@ -63,6 +63,10 @@ class ConvLSTMCell(nn.Module):
             name="gates_h",
         )(h)
         z = (zx + zh).astype(jnp.float32)
+        # NOTE: keep the per-gate LayerNorms as four separate calls on 4-D
+        # tensors. Fusing them into one grouped LN over a [B,H,W,4,C] view
+        # (identical math, 1/4 the kernels) measured 1.59x SLOWER end-to-end
+        # on TPU — XLA lowers the 5-D small-trailing-dim layout badly.
         i, f, g, o = jnp.split(z, 4, axis=-1)
         if self.use_norm:
             norm = lambda n: nn.LayerNorm(name=n, use_bias=True, use_scale=True)
