@@ -54,7 +54,9 @@ def parse_args(argv=None):
         type=int,
         default=1,
         help="optimizer steps fused into one device dispatch (lax.scan over "
-        "stacked batches); amortizes per-dispatch host/runtime overhead",
+        "stacked batches); amortizes per-dispatch host/runtime overhead. "
+        "Training may overshoot max_steps by up to K-1 steps when it is "
+        "not a multiple of K",
     )
     p.add_argument("--no_tensorboard", action="store_true")
     p.add_argument("--profile_steps", default="", help="'start,stop' steps for jax.profiler trace")
