@@ -78,6 +78,26 @@ class TestConditioning:
         assert "state" in aux["g_losses"]
         assert aux["outputs"]["gen_states"].shape == (B, T - 1, 3)
 
+    def test_state_rollout_uses_only_initial_state(self):
+        """States roll forward from states[:, 0] through the linear head
+        (reference dna_model.py carries current_state) — later GT states
+        must not leak into the rollout."""
+        model = get_model_class("savp")(hp(use_states=True, state_weight=1e-4))
+        b = batch(with_actions=True, with_states=True)
+        params, _ = model.init_variables(jax.random.PRNGKey(0), b)
+        step0 = jnp.zeros((), jnp.int32)
+        out1 = model.forward(params, b, jax.random.PRNGKey(1), step0, train=False)
+        b2 = dict(b)
+        b2["states"] = b["states"].at[:, 1:].add(5.0)  # perturb all but t=0
+        out2 = model.forward(params, b2, jax.random.PRNGKey(1), step0, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out1["gen_states"]), np.asarray(out2["gen_states"]), atol=1e-6
+        )
+        b3 = dict(b)
+        b3["states"] = b["states"].at[:, 0].add(1.0)  # perturb the initial state
+        out3 = model.forward(params, b3, jax.random.PRNGKey(1), step0, train=False)
+        assert not np.allclose(np.asarray(out1["gen_states"]), np.asarray(out3["gen_states"]))
+
 
 class TestArchVariants:
     def test_where_add_placements(self):

@@ -55,9 +55,15 @@ def _tile_concat(x: jax.Array, vec: jax.Array) -> jax.Array:
 class SAVPCell(nn.Module):
     """One generator timestep (reference ``savp_model.py#SAVPCell.call``).
 
-    carry = (rnn_states, gen_image, last_images)
-    x     = {image, use_gt, z?, action?, state?}
+    carry = (rnn_states, gen_image, last_images, current_state?)
+    x     = {image, use_gt, z?, action?}
     out   = {gen_image, masks?, kernels?} (+gen_state when use_states)
+
+    ``current_state`` (when ``use_states``) is the rolled-out low-dim state:
+    initialized from the true initial state and always advanced by the
+    linear state head — never reset to ground truth — matching the
+    reference's Finn-style state rollout (``dna_model.py`` carries
+    ``current_state`` through the fc predictor).
     """
 
     hparams: ModelHparams
@@ -101,7 +107,7 @@ class SAVPCell(nn.Module):
     @nn.compact
     def __call__(self, carry, x):
         hp = self.hparams
-        rnn_states, gen_image, last_images = carry
+        rnn_states, gen_image, last_images, current_state = carry
         # thread the compute dtype through the norm layers too — otherwise
         # they upcast every activation after them to f32 (HBM blowup)
         norm_cls = get_norm_layer(hp.norm_layer)
@@ -121,8 +127,8 @@ class SAVPCell(nn.Module):
         cond_vecs = []
         if x.get("action") is not None:
             cond_vecs.append(x["action"])
-        if x.get("state") is not None and hp.use_states:
-            cond_vecs.append(x["state"])
+        if current_state is not None and hp.use_states:
+            cond_vecs.append(current_state)
         cond = jnp.concatenate(cond_vecs, axis=-1) if cond_vecs else None
 
         inputs = image.astype(self.dtype or image.dtype)
@@ -253,14 +259,17 @@ class SAVPCell(nn.Module):
         gen_image_new = gen_image_new.astype(image.dtype)
 
         out = {"gen_image": gen_image_new}
-        if hp.use_states and x.get("state") is not None and x.get("action") is not None:
+        new_state = current_state
+        if hp.use_states and current_state is not None and x.get("action") is not None:
             # linear state predictor, as in Finn et al. CDNA (reference
-            # dna_model/savp state head): next state from [state, action]
-            sa = jnp.concatenate([x["state"], x["action"]], axis=-1)
-            out["gen_state"] = nn.Dense(x["state"].shape[-1], name="state_head")(sa)
+            # dna_model/savp state head): next state from the ROLLED-OUT
+            # [current_state, action] — predicted states feed the next step
+            sa = jnp.concatenate([current_state, x["action"]], axis=-1)
+            new_state = nn.Dense(current_state.shape[-1], name="state_head")(sa)
+            out["gen_state"] = new_state
         out.update(aux)
 
-        new_carry = (tuple(new_states), gen_image_new, last_images)
+        new_carry = (tuple(new_states), gen_image_new, last_images, new_state)
         return new_carry, out
 
 
@@ -312,7 +321,8 @@ class SAVPGenerator(nn.Module):
                 treedef, [learned(i, leaf) for i, leaf in enumerate(flat)]
             )
         last_images0 = jnp.repeat(images[:, :1], hp.last_frames, axis=1)
-        carry0 = (rnn_states, images[:, 0], last_images0)
+        state0 = states[:, 0] if (hp.use_states and states is not None) else None
+        carry0 = (rnn_states, images[:, 0], last_images0, state0)
 
         first_image = images[:, 0]
 
@@ -329,8 +339,8 @@ class SAVPGenerator(nn.Module):
             xs["z"] = jnp.moveaxis(zs, 1, 0)
         if actions is not None:
             xs["action"] = jnp.moveaxis(actions[:, : t - 1], 1, 0)
-        if states is not None and hp.use_states:
-            xs["state"] = jnp.moveaxis(states[:, : t - 1], 1, 0)
+        # states enter only through carry0 (rolled-out, Finn-style) — the
+        # per-step xs carry no ground-truth states
 
         body = nn.remat(_cell_step, prevent_cse=False) if hp.remat else _cell_step
         # scan_unroll=0 -> fully unroll the time loop: XLA then fuses and
