@@ -22,6 +22,13 @@ from video_prediction_tpu.train import create_train_state, make_train_step
 # (savp VAE, seed 42, synthetic seed 0, uint8 images + full-signal actions)
 GOLDEN_LOSSES = [0.090152, 0.084778, 0.082086, 0.078355, 0.075639]
 
+# generated 2026-08-17 (round 3): full GAN path — video SN-disc +
+# VAE-GAN pair + feature matching, LSGAN, joint two-optimizer update —
+# so spectral-norm state and the G/D stop-gradient routing are
+# drift-guarded like the VAE path (r2 VERDICT weak #7)
+GOLDEN_GAN_G = [0.291344, 0.28026, 0.272026, 0.260403, 0.247033]
+GOLDEN_GAN_D = [0.199893, 0.19803, 0.195927, 0.192795, 0.18914]
+
 
 def _setup():
     ds = SyntheticVideoDataset(mode="train", seed=0, image_size=16)
@@ -52,6 +59,30 @@ class TestGolden:
             ts, sc = step(ts, batch)
             losses.append(float(sc["g_loss"]))
         np.testing.assert_allclose(losses, GOLDEN_LOSSES, rtol=1e-4)
+
+    def test_gan_loss_trajectory_matches_committed_values(self):
+        """Fixed-seed 5-step g/d losses for a tiny full-GAN config (video
+        SN-disc + VAE-GAN + feature matching): pins spectral-norm power
+        iteration and the joint G+D update against numeric drift."""
+        ds = SyntheticVideoDataset(mode="train", seed=0, image_size=16)
+        batch = {"images": jnp.asarray(next(ds.make_iterator(2))["images"][:, :6])}
+        hp = ModelHparams(
+            context_frames=2, sequence_length=6, ngf=4, nef=8, ndf=4, nz=4,
+            kl_weight=0.1, l1_weight=1.0, num_transformed_images=2,
+            conv_rnn_norm=False, schedule_sampling="always",
+            video_sn_gan_weight=0.1, video_sn_vae_gan_weight=0.1,
+            vae_gan_feature_l2_weight=1.0, gan_loss_type="LSGAN", clip_length=4,
+        )
+        model = get_model_class("savp")(hp)
+        ts = create_train_state(model, jax.random.PRNGKey(42), batch)
+        step = make_train_step(model, donate=False)
+        g, d = [], []
+        for _ in range(len(GOLDEN_GAN_G)):
+            ts, sc = step(ts, batch)
+            g.append(float(sc["g_loss"]))
+            d.append(float(sc["d_loss"]))
+        np.testing.assert_allclose(g, GOLDEN_GAN_G, rtol=1e-4)
+        np.testing.assert_allclose(d, GOLDEN_GAN_D, rtol=1e-4)
 
     def test_init_is_deterministic(self):
         model, batch = _setup()

@@ -49,6 +49,17 @@ class TestLosses:
         assert float(losses.gan_loss(logits, 1.0, "GAN")) == pytest.approx(expected, rel=1e-5)
         assert float(losses.gan_loss(logits, 0.0, "GAN")) == pytest.approx(expected, rel=1e-5)
 
+    def test_gan_soft_labels_route_through_sigmoid_kl(self):
+        """One-sided label smoothing: a non-{0,1} label on the "GAN" type
+        dispatches to sigmoid_kl_with_logits (reference gan_loss routing) —
+        zero at the fixed point, and equal to its mean everywhere."""
+        t = 0.9
+        logit = float(np.log(t / (1 - t)))
+        assert float(losses.gan_loss(jnp.full((4,), logit), t, "GAN")) == pytest.approx(0.0, abs=1e-6)
+        logits = jnp.array([-2.0, 0.0, 3.0])
+        expected = float(np.mean(np.asarray(losses.sigmoid_kl_with_logits(logits, t))))
+        assert float(losses.gan_loss(logits, t, "GAN")) == pytest.approx(expected, rel=1e-6)
+
     def test_hinge(self):
         logits = jnp.array([2.0])
         assert float(losses.gan_loss(logits, 1.0, "hinge")) == pytest.approx(0.0)

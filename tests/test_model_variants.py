@@ -44,6 +44,36 @@ class TestTransformations:
         ts, scalars = step(ts, b)
         assert np.isfinite(float(scalars["g_loss"]))
 
+    def test_kernel_normalization_hparam(self):
+        """``kernel_normalization`` plumbs through to the CDNA/DNA heads:
+        relu (Finn 2016, reference dna_model.py) vs softmax (SAVP) produce
+        different kernels from the same params, and the dna/sna model
+        classes default to relu."""
+        from video_prediction_tpu.ops import cdna as cdna_ops
+
+        assert get_model_class("dna").default_hparams().kernel_normalization == "relu"
+        assert get_model_class("sna").default_hparams().kernel_normalization == "relu"
+        assert get_model_class("savp").default_hparams().kernel_normalization == "softmax"
+        b = batch()
+        outs = {}
+        for method in ("softmax", "relu"):
+            model = get_model_class("savp")(hp(kernel_normalization=method))
+            params, _ = model.init_variables(jax.random.PRNGKey(0), b)
+            o = model.generator.apply(
+                {"params": params["generator"]},
+                b["images"],
+                jnp.ones((T - 1, B), bool),
+                output_aux=True,
+            )
+            outs[method] = np.asarray(o["kernels"])
+        # both are valid normalizations (sum to 1 over the taps)...
+        for method, k in outs.items():
+            np.testing.assert_allclose(k.sum(axis=(-3, -2)), 1.0, atol=1e-5)
+        # ...but they are different normalizations of the same raw logits
+        assert not np.allclose(outs["softmax"], outs["relu"], atol=1e-4)
+        # relu zeroes negative taps (up to the stability shift); softmax never does
+        assert outs["relu"].min() < outs["softmax"].min()
+
     def test_flow_outputs_flow_fields(self):
         model = get_model_class("savp")(hp(transformation="flow"))
         b = batch()
@@ -78,25 +108,32 @@ class TestConditioning:
         assert "state" in aux["g_losses"]
         assert aux["outputs"]["gen_states"].shape == (B, T - 1, 3)
 
-    def test_state_rollout_uses_only_initial_state(self):
-        """States roll forward from states[:, 0] through the linear head
-        (reference dna_model.py carries current_state) — later GT states
-        must not leak into the rollout."""
+    def test_state_rollout_gated_by_scheduled_sampling(self):
+        """GT states condition the cell exactly where GT images do
+        (reference SAVPCell: state = where(ground_truth[t], inputs['states'],
+        gen_state)): context-frame states are observable, post-context GT
+        states must NOT leak into an autoregressive (eval) rollout."""
+        ctx = 2
         model = get_model_class("savp")(hp(use_states=True, state_weight=1e-4))
         b = batch(with_actions=True, with_states=True)
         params, _ = model.init_variables(jax.random.PRNGKey(0), b)
         step0 = jnp.zeros((), jnp.int32)
         out1 = model.forward(params, b, jax.random.PRNGKey(1), step0, train=False)
         b2 = dict(b)
-        b2["states"] = b["states"].at[:, 1:].add(5.0)  # perturb all but t=0
+        b2["states"] = b["states"].at[:, ctx:].add(5.0)  # perturb post-context only
         out2 = model.forward(params, b2, jax.random.PRNGKey(1), step0, train=False)
         np.testing.assert_allclose(
             np.asarray(out1["gen_states"]), np.asarray(out2["gen_states"]), atol=1e-6
         )
+        # a context-frame state (observable at deployment) DOES condition
         b3 = dict(b)
-        b3["states"] = b["states"].at[:, 0].add(1.0)  # perturb the initial state
+        b3["states"] = b["states"].at[:, ctx - 1].add(1.0)
         out3 = model.forward(params, b3, jax.random.PRNGKey(1), step0, train=False)
         assert not np.allclose(np.asarray(out1["gen_states"]), np.asarray(out3["gen_states"]))
+        b4 = dict(b)
+        b4["states"] = b["states"].at[:, 0].add(1.0)  # the initial state too
+        out4 = model.forward(params, b4, jax.random.PRNGKey(1), step0, train=False)
+        assert not np.allclose(np.asarray(out1["gen_states"]), np.asarray(out4["gen_states"]))
 
 
 class TestArchVariants:
@@ -188,7 +225,10 @@ class TestImageDiscriminatorAndPrior:
         model = get_model_class("savp")(hp(nz=4, kl_weight=0.1, learn_prior=True))
         b = batch()
         params, _ = model.init_variables(jax.random.PRNGKey(0), b)
-        assert "prior" in params
+        # the prior conv net lives INSIDE the generator cell (leak-free
+        # conditioning), not as a separate top-level param tree
+        assert "prior" not in params
+        assert "prior" in params["generator"]["SAVPCell_0"]
         out = model.forward(params, b, jax.random.PRNGKey(1), jnp.zeros((), jnp.int32), train=True)
         assert "prior_mu" in out and out["prior_mu"].shape == (B, T - 1, 4)
         # KL against the learned prior is finite and trains
@@ -196,6 +236,30 @@ class TestImageDiscriminatorAndPrior:
         step = make_train_step(model, donate=False)
         ts, scalars = step(ts, b)
         assert np.isfinite(float(scalars["g/kl"]))
+
+    def test_learned_prior_eval_no_future_frame_leak(self):
+        """At eval the learned prior conditions only on frames that exist at
+        deployment (context frames / the model's own rollout): perturbing
+        post-context ground-truth frames must not change the rollout.
+        Mirrors test_state_rollout_gated_by_scheduled_sampling (the r2
+        VERDICT's learned-prior leak)."""
+        ctx = 2
+        model = get_model_class("savp")(hp(nz=4, kl_weight=0.1, learn_prior=True))
+        b = batch()
+        params, _ = model.init_variables(jax.random.PRNGKey(0), b)
+        step0 = jnp.zeros((), jnp.int32)
+        out1 = model.forward(params, b, jax.random.PRNGKey(1), step0, train=False)
+        b2 = dict(b)
+        b2["images"] = b["images"].at[:, ctx:].add(0.25)  # future GT only
+        out2 = model.forward(params, b2, jax.random.PRNGKey(1), step0, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out1["gen_images"]), np.asarray(out2["gen_images"]), atol=1e-6
+        )
+        # context frames DO condition the prior/rollout
+        b3 = dict(b)
+        b3["images"] = b["images"].at[:, :ctx].add(0.1)
+        out3 = model.forward(params, b3, jax.random.PRNGKey(1), step0, train=False)
+        assert not np.allclose(np.asarray(out1["gen_images"]), np.asarray(out3["gen_images"]))
 
     def test_feature_matching_loss_present(self):
         model = get_model_class("savp")(
@@ -217,6 +281,22 @@ class TestImageDiscriminatorAndPrior:
             o = model.forward(params, b, jax.random.PRNGKey(1), jnp.zeros((), jnp.int32), train=False)
             out.append(np.asarray(o["gen_images"]))
         np.testing.assert_allclose(out[0], out[1], atol=1e-5)
+
+    def test_remat_policy_names_matches_full(self):
+        """Selective remat (save annotated conv/rnn outputs) is a pure
+        scheduling change: forward AND one train step match the blanket
+        policy numerically."""
+        b = batch()
+        results = []
+        for policy in ("full", "names"):
+            model = get_model_class("savp")(hp(remat_policy=policy))
+            ts = create_train_state(model, jax.random.PRNGKey(0), b)
+            step = make_train_step(model, donate=False)
+            ts, scalars = step(ts, b)
+            leaf = np.asarray(ts.params["generator"]["SAVPCell_0"]["stem"]["Conv_0"]["kernel"])
+            results.append((float(scalars["g_loss"]), leaf))
+        assert results[0][0] == pytest.approx(results[1][0], rel=1e-6)
+        np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-6)
 
     def test_context_images_background(self):
         model = get_model_class("savp")(hp(context_images_background=True))

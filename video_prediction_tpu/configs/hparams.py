@@ -83,6 +83,11 @@ class ModelHparams:
     learn_initial_state: bool = False  # learned (vs zero) ConvRNN init states
     vgg_weights_path: str = ""  # VGG16 .npz for vgg_cdist_weight / eval csim
     transformation: str = "cdna"  # cdna | dna | stp | flow | direct
+    # CDNA/DNA kernel normalization over the spatial taps: "softmax" (SAVP,
+    # reference savp_model.py) or "relu" (Finn et al. 2016 relu-then-divide
+    # with RELU_SHIFT; reference dna_model.py — the dna/sna model classes
+    # default to this)
+    kernel_normalization: str = "softmax"
     kernel_size: Tuple[int, int] = (5, 5)
     num_transformed_images: int = 4
     last_frames: int = 1
@@ -104,6 +109,12 @@ class ModelHparams:
     # trades recompute FLOPs for not storing T-1 sets of activations in HBM
     # (jax.checkpoint on the scanned cell; SURVEY §0 HBM-bandwidth guidance)
     remat: bool = True
+    # remat policy: "full" recomputes the whole cell (min memory, max
+    # recompute); "names" saves the annotated conv/ConvRNN outputs at every
+    # scale (jax.checkpoint_policies.save_only_these_names) so the backward
+    # re-executes only the cheap elementwise chains between them — the
+    # convs, where the FLOPs are, run once
+    remat_policy: str = "full"  # full | names
     # unroll factor of the time scan (trades compile time/code size for
     # cross-timestep fusion); 0 = fully unroll the T-1 loop, which is the
     # fastest option measured on TPU for these short rollouts (1.7x at

@@ -42,10 +42,14 @@ def gan_loss(logits: jax.Array, labels: float, gan_loss_type: str = "LSGAN") -> 
       gan_loss_type: ``GAN`` (sigmoid cross-entropy), ``LSGAN``
         (least-squares, the SAVP default), or ``hinge``.
 
-    Reference: ``losses.py#gan_loss``.
+    Reference: ``losses.py#gan_loss``. Soft labels (one-sided label
+    smoothing, ``labels`` not in {0, 1}) route through
+    ``sigmoid_kl_with_logits`` for the "GAN" type, as the reference does.
     """
     logits = _f32(logits)
     if gan_loss_type == "GAN":
+        if labels not in (0.0, 1.0):
+            return jnp.mean(sigmoid_kl_with_logits(logits, float(labels)))
         labels_arr = jnp.full_like(logits, labels)
         # sigmoid cross-entropy with logits
         loss = jnp.maximum(logits, 0) - logits * labels_arr + jnp.log1p(jnp.exp(-jnp.abs(logits)))

@@ -34,7 +34,6 @@ from video_prediction_tpu.configs.hparams import ModelHparams
 from video_prediction_tpu.models.networks import (
     ACVideoSNDiscriminator,
     ImageSNDiscriminator,
-    LearnedPrior,
     PosteriorEncoder,
     VideoSNDiscriminator,
 )
@@ -85,11 +84,9 @@ class VideoPredictionModel:
         self.dtype = dtype
         self.generator = SAVPGenerator(hparams=hparams, dtype=dtype)
         self.posterior = PosteriorEncoder(nz=hparams.nz, nef=hparams.nef, dtype=dtype) if hparams.nz > 0 else None
-        self.prior = (
-            LearnedPrior(nz=hparams.nz, nef=hparams.nef // 2 or 16, dtype=dtype)
-            if (hparams.nz > 0 and hparams.learn_prior)
-            else None
-        )
+        # learn_prior: the LearnedPrior conv net lives INSIDE the generator
+        # cell (models/savp.py) so z_t conditions only on frames the rollout
+        # actually has — its params are under params["generator"]
         self.discriminators: Dict[str, nn.Module] = {}
         hp = hparams
         if hp.image_sn_gan_weight or hp.image_sn_vae_gan_weight:
@@ -155,9 +152,6 @@ class VideoPredictionModel:
         if self.posterior is not None:
             pvars = self.posterior.init(rngs[1], images)
             params["posterior"] = pvars["params"]
-        if self.prior is not None:
-            prvars = self.prior.init(rngs[2], images)
-            params["prior"] = prvars["params"]
 
         if self.discriminators:
             dparams: Dict[str, Any] = {}
@@ -262,14 +256,15 @@ class VideoPredictionModel:
         eps = jax.random.normal(rng_q, mu_q.shape)
         z_q = mu_q + jnp.exp(0.5 * logvar_q) * eps
 
-        if self.prior is not None:
-            mu_p, logvar_p = self.prior.apply({"params": params["prior"]}, images)
-            out["prior_mu"], out["prior_logvar"] = mu_p, logvar_p
+        learn_prior = bool(hp.learn_prior)
+        if learn_prior:
+            # prior stats + z sampling happen INSIDE the generator cell on
+            # the rollout's own frames (no future-GT leak); we only supply
+            # the reparameterization noise
+            eps_p = jax.random.normal(rng_p, mu_q.shape)
         else:
-            mu_p = jnp.zeros_like(mu_q)
-            logvar_p = jnp.zeros_like(logvar_q)
-        z_p = mu_p + jnp.exp(0.5 * logvar_p) * jax.random.normal(rng_p, mu_p.shape)
-        out["zs_sampled_prior"] = z_p
+            z_p = jax.random.normal(rng_p, mu_q.shape)  # unit-Gaussian prior
+            out["zs_sampled_prior"] = z_p
 
         need_prior_rollout = (
             (not train)
@@ -285,8 +280,16 @@ class VideoPredictionModel:
 
             images2 = dup(images)
             use_gt2 = jnp.concatenate([use_gt, use_gt], axis=1)
-            zs2 = jnp.concatenate([z_p, z_q], axis=0)
             kwargs2 = {k: dup(v) for k, v in gen_kwargs.items()}
+            if learn_prior:
+                # first half: in-cell prior z; second half: posterior z
+                zs2 = jnp.concatenate([jnp.zeros_like(z_q), z_q], axis=0)
+                kwargs2["prior_eps"] = jnp.concatenate([eps_p, jnp.zeros_like(eps_p)], axis=0)
+                kwargs2["use_prior_z"] = jnp.concatenate(
+                    [jnp.ones((b,), bool), jnp.zeros((b,), bool)], axis=0
+                )
+            else:
+                zs2 = jnp.concatenate([z_p, z_q], axis=0)
             gout = self.generator.apply(
                 {"params": params["generator"]}, images2, use_gt2, zs=zs2, output_aux=output_aux, **kwargs2
             )
@@ -303,11 +306,33 @@ class VideoPredictionModel:
             out["gen_images"] = gout["gen_images"]  # posterior rollout doubles as main output
         else:
             # eval: prior rollout only
-            gout = self.generator.apply(
-                {"params": params["generator"]}, images, use_gt, zs=z_p, output_aux=output_aux, **gen_kwargs
-            )
+            if learn_prior:
+                gout = self.generator.apply(
+                    {"params": params["generator"]},
+                    images,
+                    use_gt,
+                    zs=None,
+                    prior_eps=eps_p,
+                    output_aux=output_aux,
+                    **gen_kwargs,
+                )
+            else:
+                gout = self.generator.apply(
+                    {"params": params["generator"]}, images, use_gt, zs=z_p, output_aux=output_aux, **gen_kwargs
+                )
             out.update(gout)
             out["_prior_rollout"] = True
+
+        if learn_prior:
+            # canonicalize in-cell prior outputs: the KL's prior stats must
+            # condition on the SAME (teacher-forced) frames the posterior
+            # sees -> take the posterior-half stats when present
+            if "prior_mu_enc" in out:
+                out["prior_mu"] = out.pop("prior_mu_enc")
+                out["prior_logvar"] = out.pop("prior_logvar_enc")
+            if "z_used" in out:  # the prior rollout's actual z draws
+                out["zs_sampled_prior"] = out.pop("z_used")
+            out.pop("z_used_enc", None)
         return out
 
     # ------------------------------------------------------------------ #
@@ -506,7 +531,6 @@ class NonTrainableVideoPredictionModel(VideoPredictionModel):
         self.dtype = None
         self.generator = None
         self.posterior = None
-        self.prior = None
         self.discriminators = {}
 
     def init_variables(self, rng, batch):

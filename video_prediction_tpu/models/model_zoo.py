@@ -56,6 +56,7 @@ class DNAVideoPredictionModel(VideoPredictionModel):
             l2_weight=1.0,
             nz=0,
             transformation="dna",
+            kernel_normalization="relu",  # Finn 2016 relu-normalized kernels
             num_transformed_images=0,
             first_image_background=False,
             prev_image_background=True,
@@ -83,6 +84,7 @@ class SNAVideoPredictionModel(VideoPredictionModel):
             l2_weight=1.0,
             nz=0,
             transformation="cdna",
+            kernel_normalization="relu",  # Finn-style CDNA normalization
             num_transformed_images=4,
             first_image_background=True,  # the defining SNA skip
             prev_image_background=True,

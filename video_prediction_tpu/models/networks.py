@@ -90,13 +90,15 @@ class VideoSNDiscriminator(nn.Module):
 
 class ACVideoSNDiscriminator(nn.Module):
     """Action-conditioned clip discriminator (reference
-    ``savp_model.py#create_acvideo_discriminator``): the video SN-disc
-    stack with each frame's transition action tiled over H,W and
-    concatenated to the frame's channels, so D judges *controlled* motion
-    plausibility, not just motion plausibility.
+    ``savp_model.py#create_acvideo_discriminator``): consecutive frame
+    pairs are concatenated channel-wise (``clips[:-1] ++ clips[1:]``) and
+    the action *between* each pair is tiled over H,W onto the pair's
+    channels, so D scores explicit ``(frame_t, frame_{t+1}, action_t)``
+    transitions — controlled-motion plausibility, not just motion.
 
     Input ``clips [B, T, H, W, C]`` + ``actions [B, T, na]`` (action t is
-    the one producing clip frame t); returns ``(logits [B, 1], features)``.
+    the one producing clip frame t, so ``actions[:, 1:]`` drives the pair
+    ``(clip_t, clip_{t+1})``); returns ``(logits [B, 1], features)``.
     """
 
     ndf: int = 64
@@ -105,10 +107,12 @@ class ACVideoSNDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, clips: jax.Array, actions: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
         b, t, h, w, c = clips.shape
+        pairs = jnp.concatenate([clips[:, :-1], clips[:, 1:]], axis=-1)  # [B,T-1,H,W,2C]
+        trans_actions = actions[:, 1:]  # action between each frame pair
         tiled = jnp.broadcast_to(
-            actions[:, :, None, None, :], (b, t, h, w, actions.shape[-1])
+            trans_actions[:, :, None, None, :], (b, t - 1, h, w, actions.shape[-1])
         ).astype(clips.dtype)
-        x = jnp.concatenate([clips, tiled], axis=-1)
+        x = jnp.concatenate([pairs, tiled], axis=-1)
         feats = []
         spec = [
             (self.ndf, (1, 3, 3), (1, 1, 1)),
@@ -162,12 +166,16 @@ class PosteriorEncoder(nn.Module):
 
 
 class LearnedPrior(nn.Module):
-    """Learned conditional prior p(z_t | x_{<=t}) used when
-    ``hparams.learn_prior`` (SV2P-style / reference ``learn_prior`` hparam).
+    """Learned conditional prior p(z_t | x_t) used when
+    ``hparams.learn_prior`` (reference ``learn_prior`` hparam).
 
-    Conv net over the *context* frame emitting (mu, logvar) per step.
-    Input ``images [B, T, H, W, C]`` (frames 0..T-2); output per-step
-    ``(mu, logvar) [B, T-1, nz]``.
+    Conv net over ONE frame emitting ``(mu, logvar) [B, nz]``. It runs
+    *inside* the generator cell on the frame the cell actually consumes —
+    ground truth during context / teacher-forced steps, the model's own
+    prediction otherwise — so evaluation rollouts never condition z_t on
+    future ground-truth frames that would not exist at deployment
+    (the r2 VERDICT's learned-prior leak; same class of fix as the state
+    rollout's).
     """
 
     nz: int = 8
@@ -176,14 +184,13 @@ class LearnedPrior(nn.Module):
     dtype: Dtype | None = None
 
     @nn.compact
-    def __call__(self, images: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        b, t, h, w, c = images.shape
-        x = images[:, :-1].reshape(b * (t - 1), h, w, c)
+    def __call__(self, image: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        x = image.astype(self.dtype or image.dtype)
         for i in range(self.n_layers):
             f = self.nef * min(2**i, 4)
             x = nn.Conv(f, (4, 4), strides=(2, 2), dtype=self.dtype, name=f"conv{i}")(x)
             x = lrelu(x, 0.2)
         x = jnp.mean(x, axis=(1, 2))
-        mu = nn.Dense(self.nz, name="mu")(x).reshape(b, t - 1, self.nz)
-        logvar = nn.Dense(self.nz, name="logvar")(x).reshape(b, t - 1, self.nz)
+        mu = nn.Dense(self.nz, name="mu")(x)
+        logvar = nn.Dense(self.nz, name="logvar")(x)
         return mu.astype(jnp.float32), logvar.astype(jnp.float32)

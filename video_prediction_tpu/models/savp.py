@@ -26,6 +26,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from video_prediction_tpu.configs.hparams import ModelHparams
 from video_prediction_tpu.ops import cdna as cdna_ops
@@ -37,6 +38,7 @@ from video_prediction_tpu.ops.layers import (
     get_norm_layer,
     get_upsample_layer,
 )
+from video_prediction_tpu.models.networks import LearnedPrior
 from video_prediction_tpu.ops.rnn import ConvGRUCell, ConvLSTMCell
 
 Dtype = Any
@@ -119,11 +121,42 @@ class SAVPCell(nn.Module):
         use_gt = x["use_gt"]  # [B] bool
         image = jnp.where(use_gt[:, None, None, None], x["image"], gen_image)
         b, hgt, wid, c = image.shape
+        aux: Dict[str, jax.Array] = {}
 
         # rolling buffer of the last `last_frames` input images
         last_images = jnp.concatenate([last_images[:, 1:], image[:, None]], axis=1)
 
+        # low-dim state: gated by the SAME scheduled-sampling mask as the
+        # images (reference SAVPCell: state = where(ground_truth[t],
+        # inputs['states'], gen_state)) — ground-truth states condition the
+        # cell during context frames (observable at deployment) and
+        # GT-sampled steps; otherwise the rolled-out prediction carries
+        if (
+            hp.use_states
+            and current_state is not None
+            and x.get("state") is not None
+        ):
+            current_state = jnp.where(
+                use_gt[:, None], x["state"].astype(current_state.dtype), current_state
+            )
+
         z = x.get("z")
+        if hp.learn_prior and hp.nz > 0:
+            # learned prior p(z_t | x_t) runs IN-CELL on the frame the cell
+            # actually consumes (GT during context/teacher-forced steps, the
+            # model's own prediction otherwise): eval rollouts never see
+            # future ground-truth frames (r2 VERDICT learned-prior leak fix)
+            mu_p, logvar_p = LearnedPrior(
+                nz=hp.nz, nef=hp.nef // 2 or 16, dtype=self.dtype, name="prior"
+            )(image)
+            aux["prior_mu"], aux["prior_logvar"] = mu_p, logvar_p
+            z_prior = mu_p + jnp.exp(0.5 * logvar_p) * x["prior_eps"]
+            if z is None:
+                z = z_prior
+            else:
+                z = jnp.where(x["use_prior_z"][:, None], z_prior, z)
+            aux["z_used"] = z
+
         cond_vecs = []
         if x.get("action") is not None:
             cond_vecs.append(x["action"])
@@ -137,21 +170,29 @@ class SAVPCell(nn.Module):
         if z is not None and hp.where_add in ("input", "all"):
             inputs = _tile_concat(inputs, z)
 
+        # ``checkpoint_name`` marks the conv/ConvRNN outputs — the tensors
+        # whose recompute is the expensive part of blanket remat — as the
+        # save set for ``remat_policy="names"``
+        # (jax.checkpoint_policies.save_only_these_names in SAVPGenerator);
+        # a no-op identity under any other policy
+        ckpt = lambda t: checkpoint_name(t, "savp_saveable")
+
         # ---- encoder ----
         h = Conv2D(hp.ngf, 3, dtype=self.dtype, name="stem")(inputs)
-        h = act(norm(name="stem_norm")(h))
+        h = ckpt(act(norm(name="stem_norm")(h)))
         skips = [h]
         new_states = []
         si = 0
         for s in range(1, self.num_scales + 1):
             feats = hp.ngf * (2**s)
             h = down(feats, dtype=self.dtype, name=f"down{s}")(h)
-            h = act(norm(name=f"down{s}_norm")(h))
+            h = ckpt(act(norm(name=f"down{s}_norm")(h)))
             if z is not None and hp.where_add == "all":
                 h = _tile_concat(h, z)
             if cond is not None and hp.where_add == "all":
                 h = _tile_concat(h, cond)
             state, h = self._conv_rnn(feats, f"enc_rnn{s}")(rnn_states[si], h)
+            h = ckpt(h)
             new_states.append(state)
             si += 1
             skips.append(h)
@@ -162,11 +203,12 @@ class SAVPCell(nn.Module):
         for s in range(self.num_scales - 1, -1, -1):
             feats = hp.ngf * (2**s)
             h = up(feats, dtype=self.dtype, name=f"up{s}")(h)
-            h = act(norm(name=f"up{s}_norm")(h))
+            h = ckpt(act(norm(name=f"up{s}_norm")(h)))
             h = jnp.concatenate([h, skips[s]], axis=-1)
             if z is not None and hp.where_add in ("all", "middle"):
                 h = _tile_concat(h, z)
             state, h = self._conv_rnn(feats, f"dec_rnn{s}")(rnn_states[si], h)
+            h = ckpt(h)
             new_states.append(state)
             si += 1
         feat_top = h  # full resolution, ngf channels
@@ -175,14 +217,14 @@ class SAVPCell(nn.Module):
         kh, kw = hp.kernel_size
         n_trans = hp.num_transformed_images
         candidates = []
-        aux: Dict[str, jax.Array] = {}
         if hp.transformation == "cdna":
             if n_trans > 0:
                 pooled = jnp.mean(bottleneck, axis=(1, 2))  # [B, feats] (GAP: cheaper
                 # than the reference's full flatten->dense and resolution-agnostic)
                 raw = nn.Dense(kh * kw * n_trans, dtype=self.dtype, name="cdna_head")(pooled)
                 kernels = cdna_ops.normalize_kernels(
-                    raw.reshape(b, kh, kw, n_trans).astype(jnp.float32), "softmax"
+                    raw.reshape(b, kh, kw, n_trans).astype(jnp.float32),
+                    hp.kernel_normalization,
                 )
                 aux["kernels"] = kernels
                 for f in range(hp.last_frames):
@@ -192,7 +234,8 @@ class SAVPCell(nn.Module):
         elif hp.transformation == "dna":
             raw = Conv2D(kh * kw, 3, dtype=self.dtype, name="dna_head")(feat_top)
             kernels = cdna_ops.normalize_kernels(
-                raw.astype(jnp.float32).reshape(b, hgt, wid, kh, kw, 1), "softmax"
+                raw.astype(jnp.float32).reshape(b, hgt, wid, kh, kw, 1),
+                hp.kernel_normalization,
             )
             transformed = cdna_ops.apply_dna_kernels(image, kernels)
             candidates.append(transformed[:, 0])
@@ -294,6 +337,8 @@ class SAVPGenerator(nn.Module):
         zs: Optional[jax.Array] = None,
         actions: Optional[jax.Array] = None,
         states: Optional[jax.Array] = None,
+        prior_eps: Optional[jax.Array] = None,
+        use_prior_z: Optional[jax.Array] = None,
         output_aux: bool = False,
     ) -> Dict[str, jax.Array]:
         hp = self.hparams
@@ -339,10 +384,36 @@ class SAVPGenerator(nn.Module):
             xs["z"] = jnp.moveaxis(zs, 1, 0)
         if actions is not None:
             xs["action"] = jnp.moveaxis(actions[:, : t - 1], 1, 0)
-        # states enter only through carry0 (rolled-out, Finn-style) — the
-        # per-step xs carry no ground-truth states
+        if hp.use_states and states is not None:
+            # per-step GT states, gated in-cell by the scheduled-sampling
+            # mask (reference SAVPCell state conditioning); the rolled-out
+            # prediction carries otherwise
+            xs["state"] = jnp.moveaxis(states[:, : t - 1], 1, 0)
+        if hp.learn_prior and hp.nz > 0:
+            if prior_eps is None:
+                prior_eps = jnp.zeros((b, t - 1, hp.nz), jnp.float32)
+            xs["prior_eps"] = jnp.moveaxis(prior_eps, 1, 0)
+            if zs is not None:
+                upz = (
+                    use_prior_z
+                    if use_prior_z is not None
+                    else jnp.zeros((b,), bool)  # external zs win by default
+                )
+                xs["use_prior_z"] = jnp.broadcast_to(upz[None], (t - 1, b))
 
-        body = nn.remat(_cell_step, prevent_cse=False) if hp.remat else _cell_step
+        if hp.remat:
+            if hp.remat_policy == "names":
+                # selective remat: save the annotated conv/rnn outputs, so
+                # the backward recomputes only elementwise chains — the MXU
+                # work runs once (r2 VERDICT perf lever a)
+                policy = jax.checkpoint_policies.save_only_these_names("savp_saveable")
+            elif hp.remat_policy == "full":
+                policy = None  # recompute the whole cell (min memory)
+            else:
+                raise ValueError(f"unknown remat_policy {hp.remat_policy!r}")
+            body = nn.remat(_cell_step, prevent_cse=False, policy=policy)
+        else:
+            body = _cell_step
         # scan_unroll=0 -> fully unroll the time loop: XLA then fuses and
         # pipelines across timesteps (measured 1.7x at batch 16, see
         # ARCHITECTURE.md perf notes); remat still bounds activation memory
@@ -360,6 +431,9 @@ class SAVPGenerator(nn.Module):
         result = {"gen_images": jnp.moveaxis(outs["gen_image"], 0, 1)}
         if "gen_state" in outs:
             result["gen_states"] = jnp.moveaxis(outs["gen_state"], 0, 1)
+        for k in ("prior_mu", "prior_logvar", "z_used"):
+            if k in outs:
+                result[k] = jnp.moveaxis(outs[k], 0, 1)
         if output_aux:
             for k in ("masks", "kernels", "flows"):
                 if k in outs:
