@@ -95,6 +95,56 @@ class TestUCF101ViaGenericConverter:
         assert batch["images"].dtype == np.uint8
 
 
+class TestSomethingSomething:
+    def _make_frames(self, root, n_videos=3, n_frames=20, hw=(24, 32)):
+        from PIL import Image
+
+        rng = np.random.RandomState(0)
+        for v in range(n_videos):
+            vdir = root / f"{v:05d}"
+            vdir.mkdir(parents=True)
+            for i in range(n_frames):
+                arr = rng.randint(0, 256, (*hw, 3), np.uint8)
+                Image.fromarray(arr).save(vdir / f"{i:04d}.jpg")
+
+    def test_converter_roundtrip_and_train_smoke(self, tmp_path):
+        """Fixture frames -> converter -> registry parse -> one SAVP train
+        step (BASELINE.json configs[4] Something-Something path)."""
+        import jax
+
+        from video_prediction_tpu.data.something import partition_data, save_tf_record
+        from video_prediction_tpu.models import get_model_class
+        from video_prediction_tpu.train import create_train_state, make_train_step
+
+        root = tmp_path / "frames"
+        self._make_frames(root)
+        video_dirs = sorted(str(d) for d in root.iterdir())
+        train_dirs, val_dirs = partition_data(video_dirs, 0.34)
+        assert len(val_dirs) == 1 and len(train_dirs) == 2
+        d = tmp_path / "train"
+        d.mkdir()
+        # non-square 24x32 sources center-crop to square before resize
+        n = save_tf_record(str(d / "r.tfrecord"), train_dirs, window=16, size=16)
+        assert n == 2  # 20 frames -> one non-overlapping 16-frame window each
+
+        cls = _small(get_dataset_class("something"), 16)
+        ds = cls(str(d), mode="test", hparams=DatasetHparams(sequence_length=12))
+        batch = next(ds.make_iterator(2))
+        assert batch["images"].shape == (2, 12, 16, 16, 3)
+        assert batch["images"].dtype == np.uint8
+        assert "actions" not in batch  # action-free clips
+
+        hp = get_model_class("savp").default_hparams().replace(
+            context_frames=2, sequence_length=12, ngf=4, nef=8,
+            num_transformed_images=2, conv_rnn_norm=False,
+        )
+        model = get_model_class("savp")(hp)
+        ts = create_train_state(model, jax.random.PRNGKey(0), batch)
+        step = make_train_step(model, donate=False)
+        ts, scalars = step(ts, batch)
+        assert np.isfinite(float(scalars["g_loss"]))
+
+
 class TestCartgripperSchema:
     def test_roundtrip(self, tmp_path):
         d = tmp_path / "train"

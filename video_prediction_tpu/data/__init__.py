@@ -1,12 +1,14 @@
 """Dataset registry (reference ``video_prediction/datasets/__init__.py#
 get_dataset_class``): ``bair``/``softmotion``, ``kth``, ``ucf101``,
-``sv2p``, ``google_robot``, ``cartgripper``, plus our file-free
+``sv2p``, ``google_robot``, ``cartgripper``, ``something``
+(Something-Something, BASELINE.json configs[4]), plus our file-free
 ``synthetic``."""
 
 from video_prediction_tpu.data.bair import SoftmotionVideoDataset  # noqa: F401
 from video_prediction_tpu.data.base import BaseVideoDataset, VideoDataset  # noqa: F401
 from video_prediction_tpu.data.kth import KTHVideoDataset  # noqa: F401
 from video_prediction_tpu.data.loader import DeviceFeeder  # noqa: F401
+from video_prediction_tpu.data.something import SomethingSomethingVideoDataset  # noqa: F401
 from video_prediction_tpu.data.synthetic import SyntheticVideoDataset  # noqa: F401
 from video_prediction_tpu.data.variants import (  # noqa: F401
     CartgripperVideoDataset,
@@ -23,6 +25,7 @@ _DATASETS = {
     "sv2p": SV2PVideoDataset,
     "google_robot": GoogleRobotVideoDataset,
     "cartgripper": CartgripperVideoDataset,
+    "something": SomethingSomethingVideoDataset,
     "synthetic": SyntheticVideoDataset,
 }
 
