@@ -41,7 +41,13 @@ def parse_args(argv=None):
     p.add_argument("--mode", default="test")
     p.add_argument("--results_dir", default="results")
     p.add_argument("--batch_size", type=int, default=8)
-    p.add_argument("--num_samples", type=int, default=32, help="test examples to evaluate")
+    p.add_argument(
+        "--num_samples",
+        type=int,
+        default=32,
+        help="test examples to evaluate; 0 -> the WHOLE test set "
+        "(dataset.num_examples_per_epoch(), reference evaluate.py behavior)",
+    )
     p.add_argument("--num_stochastic_samples", type=int, default=1)
     p.add_argument(
         "--samples_per_rollout",
@@ -158,21 +164,21 @@ def main(argv=None):
         out = model.forward(params, batch, rng, jnp.zeros((), jnp.int32), train=False)
         return out["gen_images"]
 
-    def rollout_samples(params, batch, rng, n_samples):
-        """n_samples stochastic rollouts, batched k-at-a-time on-device:
-        tile the batch k-fold so the sample dim rides the batch dim
-        (SURVEY §7 hard part #6 — no per-sample host loop)."""
+    def iter_sample_chunks(params, batch, rng, n_samples):
+        """Yield stochastic rollouts in chunks of ``samples_per_rollout``,
+        batched on-device: the sample dim rides the batch dim (SURVEY §7
+        hard part #6 — no per-sample host loop). Chunked so host RAM holds
+        O(k) samples, not all N (streaming max/mean reduction downstream)."""
         k = max(1, min(args.samples_per_rollout, n_samples))
         b = batch["images"].shape[0]
         tiled = {kk: np.repeat(v, k, axis=0) for kk, v in batch.items()}
-        outs = []
         done = 0
         while done < n_samples:
             gen = rollout(params, tiled, jax.random.fold_in(rng, done))
             gen = np.asarray(jax.device_get(gen)).reshape(b, k, *gen.shape[1:])
-            outs.extend(gen[:, i] for i in range(min(k, n_samples - done)))
+            take = min(k, n_samples - done)
+            yield gen[:, :take]  # [B, take, T-1, H, W, C]
             done += k
-        return np.stack(outs[:n_samples])  # [S, B, T-1, H, W, C]
 
     results_dir = os.path.join(args.results_dir, dataset_name, model_name)
     os.makedirs(results_dir, exist_ok=True)
@@ -199,47 +205,71 @@ def main(argv=None):
     )
     all_metrics = {m: [] for m in metric_names}  # best-of-N, per example per frame
     all_metrics_avg = {m: [] for m in metric_names}
+    num_samples = args.num_samples
+    if num_samples == 0:
+        # whole test set (reference evaluate.py walks num_examples_per_epoch)
+        num_samples = dataset.num_examples_per_epoch()
+        print(f"evaluating the whole test set: {num_samples} examples")
     it = dataset.make_iterator(args.batch_size)
     n_done = 0
     sample_idx = 0
-    while n_done < args.num_samples:
+    while n_done < num_samples:
         batch = next(it)
         images = batch["images"]
         if images.dtype == np.uint8:  # datasets ship uint8; metrics want [0,1]
             images = images.astype(np.float32) / 255.0
         target = images[:, ctx:]
-        # [S, B, Tp] metric stacks over stochastic samples
-        gens = rollout_samples(
+        # streaming max/sum reduction over stochastic samples — host RAM
+        # holds one chunk of rollouts at a time, never all N
+        metric_best = {m: None for m in metric_names}  # [B, Tp] running max
+        metric_sum = {m: None for m in metric_names}  # [B, Tp] running sum
+        best_gen = None  # [B, T-1, ...] best-psnr rollout (for the gallery)
+        best_score = None  # [B]
+        n_stoch = 0
+        for chunk in iter_sample_chunks(
             params, batch, jax.random.fold_in(rng, sample_idx), args.num_stochastic_samples
-        )
-        stacks = {m: [] for m in metric_names}
-        for gen in gens:
-            pred = gen[:, ctx - 1 :]
-            stacks["psnr"].append(np.asarray(M.peak_signal_to_noise_ratio(target, pred)))
-            stacks["ssim"].append(np.asarray(M.structural_similarity(target, pred)))
-            if vgg is not None:
-                stacks["vgg_csim"].append(np.asarray(vgg(target, pred)))
-            if lpips is not None:
-                # lower is better: negate so the best-of-N max reduction
-                # picks the closest sample (sign restored on write-out)
-                stacks["lpips"].append(-np.asarray(lpips(target, pred)))
-        stacks = {m: np.stack(v) for m, v in stacks.items()}  # [S,B,Tp]
-        psnr_s = stacks["psnr"]
+        ):
+            for s in range(chunk.shape[1]):
+                gen = chunk[:, s]
+                pred = gen[:, ctx - 1 :]
+                vals = {
+                    "psnr": np.asarray(M.peak_signal_to_noise_ratio(target, pred)),
+                    "ssim": np.asarray(M.structural_similarity(target, pred)),
+                }
+                if vgg is not None:
+                    vals["vgg_csim"] = np.asarray(vgg(target, pred))
+                if lpips is not None:
+                    # lower is better: negate so the best-of-N max reduction
+                    # picks the closest sample (sign restored on write-out)
+                    vals["lpips"] = -np.asarray(lpips(target, pred))
+                for m in metric_names:
+                    metric_best[m] = (
+                        vals[m] if metric_best[m] is None else np.maximum(metric_best[m], vals[m])
+                    )
+                    metric_sum[m] = vals[m] if metric_sum[m] is None else metric_sum[m] + vals[m]
+                n_stoch += 1
+                if html is not None:
+                    score = vals["psnr"].mean(axis=-1)  # [B]
+                    if best_gen is None:
+                        best_gen, best_score = gen.copy(), score
+                    else:
+                        better = score > best_score
+                        best_gen[better] = gen[better]
+                        best_score = np.maximum(best_score, score)
         # reductions over samples (reference: "max" best-of-N and mean)
         for m in metric_names:
-            all_metrics[m].append(stacks[m].max(axis=0))
-            all_metrics_avg[m].append(stacks[m].mean(axis=0))
+            all_metrics[m].append(metric_best[m])
+            all_metrics_avg[m].append(metric_sum[m] / n_stoch)
 
         if html is not None:
-            best = psnr_s.mean(axis=-1).argmax(axis=0)  # [B] best sample per example
             gif_len = args.gif_length or images.shape[1]
             for b in range(images.shape[0]):
-                if n_done + b >= args.num_samples:
+                if n_done + b >= num_samples:
                     break
                 gt_name = f"gt_{n_done + b:05d}.gif"
                 gen_name = f"gen_{n_done + b:05d}.gif"
                 save_gif(os.path.join(html.get_image_dir(), gt_name), images[b, :gif_len], args.fps)
-                gen_full = np.concatenate([images[b, :1], gens[best[b]][b]], axis=0)
+                gen_full = np.concatenate([images[b, :1], best_gen[b]], axis=0)
                 save_gif(os.path.join(html.get_image_dir(), gen_name), gen_full[:gif_len], args.fps)
                 html.add_header(f"example {n_done + b}")
                 html.add_images(
@@ -259,7 +289,7 @@ def main(argv=None):
         reductions = [("max", all_metrics), ("avg", all_metrics_avg)]
     for red, metr in reductions:
         for name, chunks in metr.items():
-            arr = np.concatenate(chunks, axis=0)[: args.num_samples]  # [N, Tp]
+            arr = np.concatenate(chunks, axis=0)[:num_samples]  # [N, Tp]
             if name == "lpips":
                 arr = -arr  # stored negated for the best-of-N reduction
             suffix = f"_{red}" if args.num_stochastic_samples > 1 else ""

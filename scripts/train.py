@@ -78,6 +78,7 @@ def main(argv=None):
     if maybe_initialize():
         print(f"multi-host: process {jax.process_index()}/{jax.process_count()}")
     from video_prediction_tpu.train import create_train_state, make_eval_step, make_train_step
+    from video_prediction_tpu.train import schedules
     from video_prediction_tpu.train.checkpoint import CheckpointManager
     from video_prediction_tpu.train.state import param_count
     from video_prediction_tpu.utils.gif import encode_gif, tile_image_grid
@@ -237,11 +238,29 @@ def main(argv=None):
                 t_last = time.time()
                 last_timed_step = step
             if crossed(args.summary_freq):
-                write_scalars(step, {k: jax.device_get(v) for k, v in scalars.items()})
+                vals = {k: jax.device_get(v) for k, v in scalars.items()}
+                # schedule scalars (reference logs LR, the annealed KL
+                # weight, and the scheduled-sampling probability): pure
+                # functions of the step, computed host-side
+                import jax.numpy as jnp
+
+                sj = jnp.asarray(step, jnp.float32)
+                vals["lr"] = float(schedules.learning_rate(sj, hp))
+                vals["schedule_sampling_prob"] = float(schedules.ground_truth_prob(sj, hp))
+                if hp.kl_weight:
+                    vals["kl_weight"] = float(hp.kl_weight * schedules.kl_weight(sj, hp))
+                write_scalars(step, vals)
             if crossed(gif_freq):
                 eb = batch if spc == 1 else jax.tree_util.tree_map(lambda x: x[-1], batch)
                 gen, _ = eval_step(ts.params, eb, jax.random.fold_in(ts.rng, step))
-                write_gif(step, "gen_images", jax.device_get(gen))
+                gen = np.asarray(jax.device_get(gen))
+                # GT | prediction side-by-side grid (reference
+                # tf_utils.add_gif_summaries shows both)
+                gt = np.asarray(jax.device_get(eb["images"]))
+                if gt.dtype == np.uint8:
+                    gt = gt.astype(np.float32) / 255.0
+                side = np.concatenate([gt[:, 1:], gen], axis=3)  # [B,T-1,H,2W,C]
+                write_gif(step, "gen_images", side)
             for freq, n_eval, prefix in (
                 (args.eval_summary_freq, 8, "eval"),
                 (args.accum_eval_summary_freq, 64, "accum_eval"),

@@ -114,6 +114,40 @@ class TestTrainCLI:
 
         assert CheckpointManager(os.path.join(out, "checkpoints")).latest_step() == 8
 
+    def test_summary_scalars_and_gif_in_event_files(self, tmp_path):
+        """TB summaries carry loss scalars PLUS the schedule scalars (lr,
+        annealed kl_weight, scheduled-sampling prob — reference summary
+        parity) and the GT|prediction side-by-side GIF."""
+        import tensorflow as tf
+
+        import train as train_cli
+
+        out = str(tmp_path / "tb_run")
+        train_cli.main(
+            [
+                "--dataset", "synthetic",
+                "--dataset_hparams", "sequence_length=4,context_frames=2",
+                "--model", "savp",
+                "--model_hparams", TINY.replace("max_steps=3", "max_steps=2")
+                + ",nz=4,kl_weight=0.1",
+                "--output_dir", out,
+                "--save_freq", "0",
+                "--progress_freq", "0",
+                "--summary_freq", "1",
+                "--eval_summary_freq", "0",
+                "--image_summary_freq", "2",
+                "--accum_eval_summary_freq", "0",
+            ]
+        )
+        tags = set()
+        for ev_file in glob.glob(os.path.join(out, "events.out.tfevents.*")):
+            for rec in tf.data.TFRecordDataset(ev_file):
+                ev = tf.compat.v1.Event.FromString(rec.numpy())
+                for v in ev.summary.value:
+                    tags.add(v.tag)
+        for tag in ("g_loss", "lr", "schedule_sampling_prob", "kl_weight", "gen_images"):
+            assert tag in tags, (tag, sorted(tags))
+
     def test_resume(self, run_dir):
         import train as train_cli
 
@@ -200,6 +234,33 @@ class TestEvaluateCLI:
         psnr = np.loadtxt(os.path.join(base, "psnr.txt"))
         assert psnr.shape == (2, 4)  # T=6, ctx=2 -> 4 predicted frames
         assert np.isfinite(psnr).all()
+
+    def test_num_samples_zero_walks_whole_test_set(self, tmp_path):
+        """--num_samples 0 evaluates exactly num_examples_per_epoch()
+        examples (reference evaluate.py walks the full test set), checked
+        on a fixture dataset with a known record count."""
+        import evaluate as eval_cli
+
+        from test_data import write_bair_fixture
+
+        d = tmp_path / "bair" / "test"
+        d.mkdir(parents=True)
+        write_bair_fixture(str(d / "traj.tfrecord"), num_examples=3, seq_len=30, size=64)
+
+        results = str(tmp_path / "results_full")
+        eval_cli.main(
+            [
+                "--input_dir", str(d),
+                "--model", "repeat",  # checkpoint-free baseline
+                "--dataset", "bair",
+                "--results_dir", results,
+                "--batch_size", "2",
+                "--num_samples", "0",
+                "--only_metrics",
+            ]
+        )
+        psnr = np.loadtxt(os.path.join(results, "bair", "repeat", "psnr.txt"))
+        assert psnr.shape[0] == 3  # one row per test-set example, no more
 
     def test_plot_results(self, run_dir, tmp_path):
         import evaluate as eval_cli

@@ -18,4 +18,14 @@ with ``lax.scan``; data parallelism via ``jax.sharding`` over a device mesh
 (collectives compiled by XLA over ICI); hot ops as Pallas TPU kernels.
 """
 
+import os as _os
+
+# Persistent XLA compile cache for every entry point (CLIs, bench, tests):
+# full-size SAVP compiles run minutes (remote TPU compile; 1-core host), and
+# without this each `scripts/*.py` invocation pays it again. setdefault so
+# users/env can redirect it.
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 __version__ = "0.1.0"
