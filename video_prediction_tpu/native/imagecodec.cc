@@ -46,7 +46,10 @@ uint8_t* imgc_jpeg_decode(const uint8_t* data, uint64_t len, int* h, int* w,
   ErrorMgr err;
   cinfo.err = jpeg_std_error(&err.pub);
   err.pub.error_exit = error_exit;
-  uint8_t* out = nullptr;
+  // volatile: 'out' is modified between setjmp and a potential longjmp
+  // (libjpeg can error mid-scanlines); without it the error path could
+  // free a stale register copy (formally UB under C++ setjmp rules)
+  uint8_t* volatile out = nullptr;
   if (setjmp(err.jump)) {
     if (errbuf && errbuf_len) {
       std::snprintf(errbuf, errbuf_len, "%s", err.message);

@@ -164,7 +164,10 @@ struct Cursor {
 
   Slice bytes() {  // length-delimited payload
     uint64_t n = varint();
-    if (!ok || p + n > end) {
+    // compare against the REMAINING size, never `p + n > end`: n is an
+    // unvalidated wire value and `p + n` can overflow the pointer, which
+    // would bypass the bound check on a crafted/corrupt record
+    if (!ok || n > (uint64_t)(end - p)) {
       ok = false;
       return {nullptr, 0};
     }
@@ -176,12 +179,15 @@ struct Cursor {
   void skip(uint32_t wire) {
     switch (wire) {
       case 0: varint(); break;
-      case 1: p += 8; break;
+      case 1:
+        if ((uint64_t)(end - p) < 8) { ok = false; } else { p += 8; }
+        break;
       case 2: bytes(); break;
-      case 5: p += 4; break;
+      case 5:
+        if ((uint64_t)(end - p) < 4) { ok = false; } else { p += 4; }
+        break;
       default: ok = false;
     }
-    if (p > end) ok = false;
   }
 };
 
