@@ -125,8 +125,10 @@ class TestGAN:
         assert np.isfinite(float(total))
 
     def test_gan_gradient_isolation(self):
-        """G loss must not produce D grads and vice versa."""
-        model = self._model(l1_weight=0.0)
+        """G loss must not produce D grads and vice versa — including the
+        feature-matching loss, whose real-feature TARGET comes from the
+        non-stop-gradded D pass (leak fixed round 3)."""
+        model = self._model(l1_weight=0.0, gan_feature_l2_weight=0.1)
         batch = make_batch()
         params, state = model.init_variables(jax.random.PRNGKey(0), batch)
 

@@ -472,7 +472,12 @@ class VideoPredictionModel:
                 g_losses[prefix] = weight * L.gan_loss(logits_g, 1.0, hp.gan_loss_type)
                 feat_w = hp.gan_feature_l2_weight if not key.endswith("_vae") else hp.vae_gan_feature_l2_weight
                 if feat_w:
-                    feats_real = [jnp.split(f, 2, axis=0)[0] for f in feats_both]
+                    # real features are the matching TARGET: stop-grad them so
+                    # this generator loss sends no gradient into D (reference
+                    # computes g_loss grads for g_vars only — without the sg,
+                    # the joint single-backward here would leak the feature
+                    # loss into the D update)
+                    feats_real = [sg(jnp.split(f, 2, axis=0)[0]) for f in feats_both]
                     g_losses[prefix + "_feat"] = feat_w * L.feature_matching_loss(feats_real, feats_g)
 
             for dname in sorted(self.discriminators):
