@@ -18,16 +18,19 @@ from video_prediction_tpu.data.synthetic import SyntheticVideoDataset
 from video_prediction_tpu.models import get_model_class
 from video_prediction_tpu.train import create_train_state, make_train_step
 
-# generated 2026-08-16 after the synthetic noise-floor change
+# regenerated 2026-08-17 (round 3) after the ConvLSTM gate-conv merge:
+# one conv over concat([x, h]) (reference BasicConv2DLSTMCell structure)
+# replaced the split gates_x/gates_h pair, changing param init RNG paths
 # (savp VAE, seed 42, synthetic seed 0, uint8 images + full-signal actions)
-GOLDEN_LOSSES = [0.090152, 0.084778, 0.082086, 0.078355, 0.075639]
+GOLDEN_LOSSES = [0.086703, 0.082483, 0.078181, 0.074547, 0.069578]
 
-# generated 2026-08-17 (round 3): full GAN path — video SN-disc +
-# VAE-GAN pair + feature matching, LSGAN, joint two-optimizer update —
-# so spectral-norm state and the G/D stop-gradient routing are
-# drift-guarded like the VAE path (r2 VERDICT weak #7)
-GOLDEN_GAN_G = [0.291344, 0.28026, 0.272026, 0.260403, 0.247033]
-GOLDEN_GAN_D = [0.199893, 0.19803, 0.195927, 0.192795, 0.18914]
+# same regeneration; full GAN path — video SN-disc + VAE-GAN pair +
+# feature matching, LSGAN, joint two-optimizer update — so spectral-norm
+# state and the G/D stop-gradient routing are drift-guarded like the VAE
+# path (r2 VERDICT weak #7). Also reflects the round-3 feature-matching
+# stop-grad fix (real features are a pure target now).
+GOLDEN_GAN_G = [0.287486, 0.277969, 0.268314, 0.256942, 0.241903]
+GOLDEN_GAN_D = [0.199894, 0.198031, 0.195912, 0.192767, 0.189023]
 
 
 def _setup():

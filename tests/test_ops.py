@@ -114,6 +114,24 @@ class TestSpectralNorm:
         y = m.apply(variables, x)
         assert y.shape == (2, 4, 4, 4, 4)
 
+    def test_conv3d_time_tap_decomposition_matches_direct(self):
+        """The batched-2D time-tap formulation (ops/spectral.py) must equal
+        lax's direct 3-D convolution for every stride/kernel combo the
+        discriminators use."""
+        from video_prediction_tpu.ops.spectral import _conv3d_as_time_taps
+
+        rng = jax.random.PRNGKey(3)
+        for kt, st, t in [(3, 1, 10), (3, 2, 10), (1, 1, 5), (3, 2, 5), (2, 2, 6)]:
+            kx, kw_ = jax.random.split(jax.random.fold_in(rng, kt * 100 + st * 10 + t))
+            x = jax.random.normal(kx, (2, t, 6, 6, 3))
+            w = jax.random.normal(kw_, (kt, 4, 4, 3, 5))
+            for strides in [(st, 1, 1), (st, 2, 2)]:
+                direct = jax.lax.conv_general_dilated(
+                    x, w, strides, "SAME", dimension_numbers=("NTHWC", "THWIO", "NTHWC")
+                )
+                taps = _conv3d_as_time_taps(x, w, strides, "SAME")
+                np.testing.assert_allclose(np.array(taps), np.array(direct), atol=2e-4)
+
 
 class TestConvRNN:
     def test_convlstm_shapes_and_carry(self):
@@ -124,6 +142,29 @@ class TestConvRNN:
         (c, h), y = cell.apply(params, carry, x)
         assert c.shape == h.shape == y.shape == (2, 8, 8, 8)
         np.testing.assert_allclose(np.array(h), np.array(y))
+
+    def test_convlstm_split_gate_conv_matches_merged(self):
+        """gate_conv='split' (separate x/h convs) computes the same cell as
+        'merged' when the split kernels are the concatenation-slices of the
+        merged kernel — the two layouts are the same math, different param
+        trees (ops/rnn.py round-3 perf note)."""
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 5, 4))
+        c0 = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 5, 3))
+        h0 = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 5, 3))
+        merged = ops.ConvLSTMCell(features=3, kernel_size=3, gate_conv="merged")
+        pm = merged.init(jax.random.PRNGKey(9), (c0, h0), x)
+        km = pm["params"]["gates"]["kernel"]  # [3,3,4+3,12]
+        ps = {
+            "params": {
+                "gates_x": {"kernel": km[:, :, :4], "bias": pm["params"]["gates"]["bias"]},
+                "gates_h": {"kernel": km[:, :, 4:]},
+            }
+        }
+        split = ops.ConvLSTMCell(features=3, kernel_size=3, gate_conv="split")
+        (cm, hm), _ = merged.apply(pm, (c0, h0), x)
+        (cs, hs), _ = split.apply(ps, (c0, h0), x)
+        np.testing.assert_allclose(np.array(cs), np.array(cm), atol=1e-5)
+        np.testing.assert_allclose(np.array(hs), np.array(hm), atol=1e-5)
 
     def test_convlstm_norm_variant(self):
         cell = ops.ConvLSTMCell(features=4, use_norm=True)
@@ -153,7 +194,11 @@ class TestConvRNN:
                 out = out + bias
             return out
 
-        z = conv(x, p["gates_x"]["kernel"], p["gates_x"]["bias"]) + conv(h0, p["gates_h"]["kernel"])
+        z = conv(
+            np.concatenate([np.array(x), np.array(h0)], axis=-1),
+            p["gates"]["kernel"],
+            p["gates"]["bias"],
+        )
         i, f, g, o = np.split(np.array(z), 4, axis=-1)
         sig = lambda v: 1.0 / (1.0 + np.exp(-v))
         c_ref = sig(f + 1.0) * np.array(c0) + sig(i) * np.tanh(g)

@@ -120,6 +120,13 @@ class ModelHparams:
     # fastest option measured on TPU for these short rollouts (1.7x at
     # batch 16 — XLA pipelines across timesteps; see ARCHITECTURE.md)
     scan_unroll: int = 1
+    # ConvLSTM gate-conv layout: "merged" = one conv over concat([x, h])
+    # (fastest with the fully-unrolled scan — the headline operating
+    # point); "split" = separate x/h convs + add (fastest in the
+    # rolled-scan remat regime, e.g. large batch). Param trees differ —
+    # a checkpoint is tied to the layout it was trained with. Measured
+    # numbers in ARCHITECTURE.md perf notes (round 3).
+    lstm_gate_conv: str = "merged"  # merged | split
 
     def replace(self, **kw) -> "ModelHparams":
         return dataclasses.replace(self, **kw)

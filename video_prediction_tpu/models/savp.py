@@ -75,7 +75,14 @@ class SAVPCell(nn.Module):
     def _conv_rnn(self, features: int, name: str):
         hp = self.hparams
         if hp.conv_rnn == "lstm":
-            return ConvLSTMCell(features, 5, use_norm=hp.conv_rnn_norm, dtype=self.dtype, name=name)
+            return ConvLSTMCell(
+                features,
+                5,
+                use_norm=hp.conv_rnn_norm,
+                gate_conv=hp.lstm_gate_conv,
+                dtype=self.dtype,
+                name=name,
+            )
         if hp.conv_rnn == "gru":
             return ConvGRUCell(features, 5, dtype=self.dtype, name=name)
         raise ValueError(f"unknown conv_rnn {hp.conv_rnn!r}")

@@ -36,6 +36,15 @@ class ConvLSTMCell(nn.Module):
     kernel_size: int = 5
     use_norm: bool = False
     forget_bias: float = 1.0
+    # Gate-conv layout, measured round 3 on the full SAVP train step:
+    # "merged" = ONE conv over concat([x, h]) (the reference's
+    # BasicConv2DLSTMCell structure; doubled contraction depth) — fastest
+    # when the time scan is fully unrolled (batch 16: 253 vs 256 ms/step);
+    # "split" = separate x/h convs + add — fastest in the ROLLED-scan
+    # remat regime (batch 64 unroll 6: 713 vs 746 ms/step, the merged
+    # form's concat inflates remat recompute). Param trees differ, so a
+    # checkpoint is tied to its layout (hparams travel in options.json).
+    gate_conv: str = "merged"
     dtype: Dtype | None = None
 
     def initialize_carry(self, batch: int, spatial: Tuple[int, int], dtype=jnp.float32):
@@ -46,23 +55,36 @@ class ConvLSTMCell(nn.Module):
     @nn.compact
     def __call__(self, carry, x):
         c, h = carry
-        zx = nn.Conv(
-            4 * self.features,
-            (self.kernel_size, self.kernel_size),
-            padding="SAME",
-            use_bias=not self.use_norm,
-            dtype=self.dtype,
-            name="gates_x",
-        )(x)
-        zh = nn.Conv(
-            4 * self.features,
-            (self.kernel_size, self.kernel_size),
-            padding="SAME",
-            use_bias=False,
-            dtype=self.dtype,
-            name="gates_h",
-        )(h)
-        z = (zx + zh).astype(jnp.float32)
+        if self.gate_conv == "merged":
+            z = nn.Conv(
+                4 * self.features,
+                (self.kernel_size, self.kernel_size),
+                padding="SAME",
+                use_bias=not self.use_norm,
+                dtype=self.dtype,
+                name="gates",
+            )(jnp.concatenate([x, h.astype(x.dtype)], axis=-1))
+        elif self.gate_conv == "split":
+            zx = nn.Conv(
+                4 * self.features,
+                (self.kernel_size, self.kernel_size),
+                padding="SAME",
+                use_bias=not self.use_norm,
+                dtype=self.dtype,
+                name="gates_x",
+            )(x)
+            zh = nn.Conv(
+                4 * self.features,
+                (self.kernel_size, self.kernel_size),
+                padding="SAME",
+                use_bias=False,
+                dtype=self.dtype,
+                name="gates_h",
+            )(h)
+            z = zx + zh
+        else:
+            raise ValueError(f"unknown gate_conv {self.gate_conv!r}")
+        z = z.astype(jnp.float32)
         # NOTE: keep the per-gate LayerNorms as four separate calls on 4-D
         # tensors. Fusing them into one grouped LN over a [B,H,W,4,C] view
         # (identical math, 1/4 the kernels) measured 1.59x SLOWER end-to-end
