@@ -56,9 +56,14 @@ BATCHES = (16, 32, 64)
 # scan_unroll=0 fully unrolls the T-1 time loop: XLA fuses/pipelines across
 # timesteps — measured 1.71x at batch 16 and 1.33x at batch 32 (honest
 # clock). At batch 64 the fully-unrolled graph exceeds this env's remote
-# compile helper; unroll=6 is the best compiling point there (897 vs 861
-# frames/s rolled).
+# compile helper (48 does too); unroll=6 is the best compiling point there
+# (897 vs 861 frames/s rolled; unroll=8 measured 814).
 UNROLL = {16: 0, 32: 0, 64: 6}
+# ConvLSTM gate-conv layout per operating point (measured, see
+# ARCHITECTURE.md): "merged" wins when the scan is fully unrolled
+# (253 vs 256 ms at batch 16), "split" wins in the rolled remat regime
+# (713 vs 746 ms at batch 64).
+GATE_CONV = {16: "merged", 32: "merged", 64: "split"}
 
 # peak dense bf16 FLOPS per chip by PJRT device_kind (public spec sheets);
 # unknown kinds report mfu=None rather than a made-up number
@@ -79,6 +84,34 @@ def _peak_flops() -> float | None:
     for name, peak in sorted(PEAK_BF16_FLOPS.items(), key=lambda kv: -len(kv[0])):
         if kind.lower().startswith(name.lower()):
             return peak
+    return None
+
+
+def _forward_flops(model, ts, batch) -> float | None:
+    """XLA cost-analysis flops of ONE forward pass (loss computation, no
+    grad) on the fully-unrolled graph. Model train flops are conventionally
+    3x this (1x forward + 2x backward) — independent of how much recompute
+    the remat policy adds, so ``mfu_model`` measures useful work while
+    ``mfu`` (executed flops) measures hardware occupancy (r2 VERDICT:
+    executed-flops MFU alone flatters remat recompute)."""
+    import jax.numpy as jnp
+
+    def loss_only(params):
+        total, _ = model.compute_losses(
+            params, ts.model_state, batch, jax.random.PRNGKey(0),
+            jnp.zeros((), jnp.int32), train=True,
+        )
+        return total
+
+    try:
+        cost = jax.jit(loss_only).lower(ts.params).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        f = cost.get("flops") if cost else None
+        if f and np.isfinite(f) and f > 0:
+            return float(f)
+    except Exception:
+        pass
     return None
 
 
@@ -107,6 +140,7 @@ def _bench_one(batch_size: int, n_steps: int = 30):
         schedule_sampling_k=900.0,
         compute_dtype="bfloat16",
         scan_unroll=UNROLL.get(batch_size, 1),
+        lstm_gate_conv=GATE_CONV.get(batch_size, "merged"),
     )
     model = get_model_class("savp")(hp)
 
@@ -131,6 +165,7 @@ def _bench_one(batch_size: int, n_steps: int = 30):
     # row by the caller. Includes remat recompute (executed hardware
     # flops, not model flops).
     flops = None
+    fwd_flops = None
     if hp.scan_unroll == 0:
         try:
             cost = step_fn.lower(ts, batch).compile().cost_analysis()
@@ -141,6 +176,8 @@ def _bench_one(batch_size: int, n_steps: int = 30):
                 flops = float(f)
         except Exception:
             pass
+        if batch_size == HEADLINE_BATCH:
+            fwd_flops = _forward_flops(model, ts, batch)
 
     dt = float("inf")
     for _ in range(2):
@@ -149,7 +186,7 @@ def _bench_one(batch_size: int, n_steps: int = 30):
             ts, scalars = step_fn(ts, batch)
         g = float(scalars["g_loss"])  # forces execution of the whole chain
         dt = min(dt, time.perf_counter() - t0)
-    return dt / n_steps, flops, g, float(scalars["d_loss"])
+    return dt / n_steps, flops, fwd_flops, g, float(scalars["d_loss"])
 
 
 def main():
@@ -160,13 +197,18 @@ def main():
     rows = {}
     headline_fps = None
     headline_losses = None
-    flops_per_example = None  # from an unrolled row; linear in batch
+    flops_per_example = None  # executed flops, from an unrolled row; linear in batch
+    model_flops_per_example = None  # 3x forward flops (model flops, no recompute)
     results = []
     for bs in BATCHES:
-        sec_per_step, flops, g_loss, d_loss = _bench_one(bs, n_steps=30 if bs <= 32 else 20)
+        sec_per_step, flops, fwd_flops, g_loss, d_loss = _bench_one(
+            bs, n_steps=30 if bs <= 32 else 20
+        )
         results.append((bs, sec_per_step, flops))
         if flops and flops_per_example is None:
             flops_per_example = flops / bs
+        if fwd_flops:
+            model_flops_per_example = 3.0 * fwd_flops / bs
         if bs == HEADLINE_BATCH:
             headline_fps = bs * (SEQ_LEN - CONTEXT) / sec_per_step / n_chips
             headline_losses = (g_loss, d_loss)
@@ -179,11 +221,19 @@ def main():
             if (est_flops and peak)
             else None
         )
+        model_flops = model_flops_per_example * bs if model_flops_per_example else None
+        mfu_model = (
+            round(model_flops / sec_per_step / (peak * n_chips), 4)
+            if (model_flops and peak)
+            else None
+        )
         rows[f"batch{bs}"] = {
             "frames_per_sec_per_chip": round(fps_chip, 2),
             "ms_per_step": round(sec_per_step * 1e3, 3),
             "mfu": mfu,
+            "mfu_model": mfu_model,
             "flops_per_step": est_flops,
+            "model_flops_per_step": model_flops,
         }
 
     g_loss, d_loss = headline_losses
