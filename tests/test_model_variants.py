@@ -136,6 +136,25 @@ class TestConditioning:
         assert not np.allclose(np.asarray(out1["gen_states"]), np.asarray(out4["gen_states"]))
 
 
+class TestRegimeFormulations:
+    def test_scan_unroll_regimes_compute_identical_rollouts(self):
+        """scan_unroll=0 selects the fused compositing formulation
+        (kernel-slice mask conv + FMA accumulate) and scan_unroll>=1 the
+        concat+einsum one (models/savp.py round-3 perf note). Same params
+        must produce the same rollout — param trees are identical by
+        construction."""
+        b = batch()
+        m0 = get_model_class("savp")(hp(scan_unroll=0, dependent_mask=True))
+        m1 = get_model_class("savp")(hp(scan_unroll=1, dependent_mask=True))
+        params, _ = m0.init_variables(jax.random.PRNGKey(0), b)
+        step = jnp.zeros((), jnp.int32)
+        o0 = m0.forward(params, b, jax.random.PRNGKey(1), step, train=False)
+        o1 = m1.forward(params, b, jax.random.PRNGKey(1), step, train=False)
+        np.testing.assert_allclose(
+            np.array(o0["gen_images"]), np.array(o1["gen_images"]), atol=1e-5
+        )
+
+
 class TestArchVariants:
     def test_where_add_placements(self):
         for where in ["all", "input", "middle"]:

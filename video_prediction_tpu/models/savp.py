@@ -44,6 +44,59 @@ from video_prediction_tpu.ops.rnn import ConvGRUCell, ConvLSTMCell
 Dtype = Any
 
 
+class _SplitInputConv2D(nn.Module):
+    """One logical SAME conv over the channel-concat of two inputs, applied
+    as two kernel-slice convs + add — skips materializing the concat (the
+    profiled batch-16 step spent ~3.6 ms/step on the mask-head concat at
+    84 GB/s). Param tree and init RNG paths are IDENTICAL to
+    ``Conv2D(name=...)`` (an ``nn.Conv`` child named ``Conv_0`` holding
+    ``kernel [k,k,C1+C2,F]`` / ``bias``), so checkpoints are
+    interchangeable with the concat formulation."""
+
+    features: int
+    kernel_size: int = 3
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        c1, c2 = a.shape[-1], b.shape[-1]
+        inner = _SplitInputConvInner(
+            features=self.features, kernel_size=self.kernel_size, dtype=self.dtype, name="Conv_0"
+        )
+        return inner(a, b, c1 + c2)
+
+
+class _SplitInputConvInner(nn.Module):
+    features: int
+    kernel_size: int
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, a: jax.Array, b: jax.Array, c_total: int) -> jax.Array:
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, c_total, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        dt = self.dtype or a.dtype
+        c1 = a.shape[-1]
+
+        def conv(x, w):
+            return jax.lax.conv_general_dilated(
+                x.astype(dt),
+                w.astype(dt),
+                window_strides=(1, 1),
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        y = conv(a, kernel[:, :, :c1]) + conv(b, kernel[:, :, c1:])
+        return y + bias.astype(y.dtype)
+
+
 def _tile_concat(x: jax.Array, vec: jax.Array) -> jax.Array:
     """Tile a [B, D] vector spatially and concat to [B, H, W, C] features.
 
@@ -296,16 +349,39 @@ class SAVPCell(nn.Module):
         if num_masks == 1:
             gen_image_new = candidates[0]
         else:
-            mask_in = feat_top
-            if hp.dependent_mask:
-                mask_in = jnp.concatenate(
-                    [mask_in] + [cand.astype(mask_in.dtype) for cand in candidates], axis=-1
+            # Regime-dependent compositing formulation (identical math AND
+            # identical param tree — checkpoints interchangeable). At full
+            # unroll (scan_unroll=0) the kernel-slice conv + FMA
+            # accumulation wins (248 vs 253 ms/step, batch 16: no concat
+            # buffer, no [B,H,W,C,K] stack); in the ROLLED remat regime the
+            # same formulation inflates recompute (757 vs 713 ms at batch
+            # 64 unroll 6, executed flops 73.8 vs 66.7 TF), so the concat +
+            # einsum form stays for rolled scans.
+            fused_composite = hp.scan_unroll == 0
+            if hp.dependent_mask and fused_composite:
+                cand_cat = jnp.concatenate(
+                    [cand.astype(feat_top.dtype) for cand in candidates], axis=-1
                 )
-            mask_logits = Conv2D(num_masks, 3, dtype=self.dtype, name="mask_head")(mask_in)
+                mask_logits = _SplitInputConv2D(num_masks, 3, dtype=self.dtype, name="mask_head")(
+                    feat_top, cand_cat
+                )
+            elif hp.dependent_mask:
+                mask_in = jnp.concatenate(
+                    [feat_top] + [cand.astype(feat_top.dtype) for cand in candidates], axis=-1
+                )
+                mask_logits = Conv2D(num_masks, 3, dtype=self.dtype, name="mask_head")(mask_in)
+            else:
+                mask_logits = Conv2D(num_masks, 3, dtype=self.dtype, name="mask_head")(feat_top)
             masks = jax.nn.softmax(mask_logits.astype(jnp.float32), axis=-1)
             aux["masks"] = masks
-            stacked = jnp.stack(candidates, axis=-1).astype(jnp.float32)  # [B,H,W,C,K]
-            gen_image_new = jnp.einsum("bhwck,bhwk->bhwc", stacked, masks)
+            if fused_composite:
+                gen_image_new = sum(
+                    cand.astype(jnp.float32) * masks[..., k : k + 1]
+                    for k, cand in enumerate(candidates)
+                )
+            else:
+                stacked = jnp.stack(candidates, axis=-1).astype(jnp.float32)  # [B,H,W,C,K]
+                gen_image_new = jnp.einsum("bhwck,bhwk->bhwc", stacked, masks)
         gen_image_new = gen_image_new.astype(image.dtype)
 
         out = {"gen_image": gen_image_new}
