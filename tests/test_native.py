@@ -65,6 +65,59 @@ class TestReaderParser:
         with pytest.raises(FileNotFoundError):
             next(native.read_records("/nonexistent.tfrecord"))
 
+    def test_fuzz_corrupt_files_never_crash(self, fixture_dir, tmp_path):
+        """Adversarial-bytes fuzz of the C++ reader (the r2 hardening:
+        wire lengths are bounds-checked against remaining size, not via
+        pointer arithmetic that can overflow — native/tfrecord.cc). Each
+        mutation must yield records or raise IOError — the process
+        surviving 200 corrupt files IS the assertion (an OOB read in the
+        ctypes-loaded library would crash pytest)."""
+        d, _ = fixture_dir
+        raw = open(f"{d}/traj_0.tfrecord", "rb").read()
+        rng = np.random.RandomState(0)
+        p = tmp_path / "fuzz.tfrecord"
+        for trial in range(200):
+            buf = bytearray(raw)
+            op = trial % 4
+            if op == 0:  # flip 1-8 random bytes (hits length fields too)
+                for _ in range(rng.randint(1, 9)):
+                    buf[rng.randint(len(buf))] ^= rng.randint(1, 256)
+            elif op == 1:  # truncate anywhere (mid-header, mid-payload)
+                buf = buf[: rng.randint(len(buf))]
+            elif op == 2:  # splice random garbage at a random offset
+                at = rng.randint(len(buf))
+                buf = buf[:at] + bytes(rng.bytes(rng.randint(1, 64))) + buf[at:]
+            else:  # overwrite a length field with a huge value
+                at = rng.randint(max(1, len(buf) - 12))
+                buf[at : at + 8] = (2**63 - rng.randint(1, 1000)).to_bytes(8, "little")
+            p.write_bytes(bytes(buf))
+            for verify_crc in (True, False):
+                try:
+                    records = list(native.read_records(str(p), verify_crc=verify_crc))
+                except (IOError, ValueError):
+                    continue
+                # parsed records must also never crash the Example walker
+                for rec in records:
+                    try:
+                        native.parse_example(rec)
+                    except ValueError:
+                        pass
+
+    def test_fuzz_corrupt_example_protos_never_crash(self, fixture_dir):
+        """Same for the Example proto walker: mutated payloads parse or
+        raise ValueError, never read out of bounds."""
+        d, _ = fixture_dir
+        rec = next(iter(native.read_records(f"{d}/traj_0.tfrecord")))
+        rng = np.random.RandomState(1)
+        for _ in range(200):
+            buf = bytearray(rec)
+            for _ in range(rng.randint(1, 6)):
+                buf[rng.randint(len(buf))] ^= rng.randint(1, 256)
+            try:
+                native.parse_example(bytes(buf[: rng.randint(1, len(buf) + 1)]))
+            except ValueError:
+                pass
+
 
 class TestNativePipeline:
     def test_batches_match_tf_backend(self, fixture_dir):

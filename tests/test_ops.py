@@ -342,6 +342,47 @@ class TestLocal2D:
         assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
 
+class TestSeparableLocal2D:
+    def test_matches_composed_dense_kernel(self):
+        """Rank-R separable per-pixel kernels must equal the dense local2d
+        with the composed kernel K[i,j] = sum_r v[i,r]*h[j,r], depthwise."""
+        rng = np.random.RandomState(0)
+        b, h, w, c, k, r = 2, 5, 4, 3, 3, 2
+        x = rng.rand(b, h, w, c).astype(np.float32)
+        v = rng.rand(h, w, k, r, c).astype(np.float32)
+        hk = rng.rand(h, w, k, r, c).astype(np.float32)
+        bias = rng.rand(c).astype(np.float32)
+        out = np.array(
+            ops.separable_local2d_apply(
+                jnp.asarray(x), jnp.asarray(v), jnp.asarray(hk), jnp.asarray(bias)
+            )
+        )
+
+        pad = k // 2
+        xp = np.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        composed = np.einsum("hwirc,hwjrc->hwijc", v, hk)  # [H,W,k,k,C]
+        for bb in range(b):
+            for y in range(h):
+                for xx in range(w):
+                    patch = xp[bb, y : y + k, xx : xx + k]  # [k,k,C]
+                    expect = np.einsum("ijc,ijc->c", patch, composed[y, xx]) + bias
+                    np.testing.assert_allclose(out[bb, y, xx], expect, atol=1e-4)
+
+    def test_module_shapes_and_grads(self):
+        m = ops.SeparableLocal2D(kernel_size=3, rank=2)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 6, 6, 3))
+        params = m.init(jax.random.PRNGKey(1), x)
+        assert params["params"]["vertical"].shape == (6, 6, 3, 2, 3)
+        assert params["params"]["horizontal"].shape == (6, 6, 3, 2, 3)
+        out = m.apply(params, x)
+        assert out.shape == x.shape
+
+        g = jax.grad(lambda p: jnp.sum(jnp.square(m.apply(p, x))))(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
 class TestAffineWarp:
     def test_zero_params_is_identity(self):
         # params are deltas from the identity transform

@@ -28,6 +28,42 @@ class TestFusedCDNA:
         np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(img), atol=1e-6)
 
 
+class TestFusedLNGate:
+    def test_matches_convlstm_cell_math(self):
+        """Row-wise fused kernel vs ops/rnn.py#ConvLSTMCell's post-conv
+        math (per-gate LN + gate nonlinearities + cell LN), fp32 in/out."""
+        r, cdim = 16, 8
+        rng = np.random.RandomState(0)
+        z = jnp.asarray(rng.randn(r, 4 * cdim), jnp.float32)
+        c = jnp.asarray(rng.randn(r, cdim), jnp.float32)
+        lnp = jnp.asarray(rng.rand(10, cdim) + 0.5, jnp.float32)
+
+        def ln(x, s, b):
+            mu = x.mean(-1, keepdims=True)
+            var = ((x - mu) ** 2).mean(-1, keepdims=True)
+            return (x - mu) / np.sqrt(var + 1e-6) * s + b
+
+        zn, cn, ln_np = np.asarray(z), np.asarray(c), np.asarray(lnp)
+        i = 1 / (1 + np.exp(-ln(zn[:, :cdim], ln_np[0], ln_np[1])))
+        f = 1 / (1 + np.exp(-(ln(zn[:, cdim : 2 * cdim], ln_np[2], ln_np[3]) + 1.0)))
+        g = np.tanh(ln(zn[:, 2 * cdim : 3 * cdim], ln_np[4], ln_np[5]))
+        o = 1 / (1 + np.exp(-ln(zn[:, 3 * cdim :], ln_np[6], ln_np[7])))
+        c_ref = f * cn + i * g
+        h_ref = o * np.tanh(ln(c_ref, ln_np[8], ln_np[9]))
+
+        c_new, h_new = pk.fused_ln_gate(z, c, lnp, interpret=True)
+        np.testing.assert_allclose(np.asarray(c_new), c_ref, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(h_new), h_ref, atol=1e-5)
+
+    def test_output_dtype_follows_cell_state(self):
+        r, cdim = 8, 8
+        z = jnp.zeros((r, 4 * cdim), jnp.bfloat16)
+        c = jnp.zeros((r, cdim), jnp.bfloat16)
+        lnp = jnp.ones((10, cdim), jnp.float32)
+        c_new, h_new = pk.fused_ln_gate(z, c, lnp, interpret=True)
+        assert c_new.dtype == jnp.bfloat16 and h_new.dtype == jnp.bfloat16
+
+
 class TestFusedComposite:
     def test_matches_reference_einsum(self):
         b, k, h, w, c = 2, 5, 8, 8, 3

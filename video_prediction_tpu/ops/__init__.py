@@ -13,7 +13,9 @@ from video_prediction_tpu.ops.layers import (  # noqa: F401
     UpsampleConv2D,
     ConvPool2D,
     Local2D,
+    SeparableLocal2D,
     local2d_apply,
+    separable_local2d_apply,
     lrelu,
     pool2d,
     upsample2d,

@@ -140,6 +140,83 @@ def local2d_apply(x: jax.Array, weights: jax.Array, bias: jax.Array | None = Non
     return acc.astype(x.dtype)
 
 
+def separable_local2d_apply(
+    x: jax.Array,
+    vertical: jax.Array,
+    horizontal: jax.Array,
+    bias: jax.Array | None = None,
+) -> jax.Array:
+    """Separable locally-connected 2-D conv: every output pixel owns a
+    rank-``R`` factorized kernel ``K[i,j] = sum_r v[i,r] * h[j,r]``.
+
+    Args:
+      x: ``[B, H, W, C]`` NHWC input.
+      vertical: ``[H, W, kh, R, C]`` per-pixel vertical 1-D kernels.
+      horizontal: ``[W, kw... ]`` — ``[H, W, kw, R, C]`` per-pixel
+        horizontal 1-D kernels.
+      bias: optional ``[C]``.
+
+    Reference ``ops.py#separable_local2d`` (reconstruction — the mount is
+    empty; the factorized-rank depthwise form is the standard separable
+    variant of ``local2d``, cutting per-pixel params from ``kh*kw`` to
+    ``(kh+kw)*R`` per channel). TPU formulation mirrors
+    ``local2d_apply``: shifted-FMA taps with the per-tap weight composed
+    on the fly (``sum_r v_i h_j``, an [H,W,C]-sized contraction per tap)
+    — no ``[B,H,W,kh,kw,C]`` patch tensor in HBM. NOTE the factorization
+    is per OUTPUT pixel, so the two 1-D passes do NOT compose (untied
+    weights would be read at shifted pixels); the tap-product form is the
+    correct one.
+    """
+    b, h, w, c = x.shape
+    hh, ww, kh, r, c2 = vertical.shape
+    hh2, ww2, kw, r2, c3 = horizontal.shape
+    assert (hh, ww, c2) == (h, w, c) and (hh2, ww2, r2, c3) == (h, w, r, c), (
+        vertical.shape,
+        horizontal.shape,
+        x.shape,
+    )
+    ph, pw = (kh - 1) // 2, (kw - 1) // 2
+    xf = x.astype(jnp.float32)
+    vf = vertical.astype(jnp.float32)
+    hf = horizontal.astype(jnp.float32)
+    padded = jnp.pad(xf, ((0, 0), (ph, kh - 1 - ph), (pw, kw - 1 - pw), (0, 0)))
+    acc = jnp.zeros((b, h, w, c), jnp.float32)
+    for i in range(kh):
+        for j in range(kw):
+            tap = jax.lax.slice(padded, (0, i, j, 0), (b, i + h, j + w, c))
+            wij = jnp.einsum("hwrc,hwrc->hwc", vf[:, :, i], hf[:, :, j])
+            acc = acc + tap * wij[None]
+    if bias is not None:
+        acc = acc + bias.astype(jnp.float32)
+    return acc.astype(x.dtype)
+
+
+class SeparableLocal2D(nn.Module):
+    """Separable locally-connected conv layer (reference
+    ``ops.py#separable_local2d``); per-pixel kernels factorized as a sum of
+    ``rank`` vertical x horizontal outer products, applied depthwise."""
+
+    kernel_size: int = 3
+    rank: int = 1
+    use_bias: bool = True
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        k = self.kernel_size
+        init = nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal")
+        vertical = self.param("vertical", init, (h, w, k, self.rank, c), jnp.float32)
+        horizontal = self.param("horizontal", init, (h, w, k, self.rank, c), jnp.float32)
+        bias = (
+            self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        dtype = self.dtype or x.dtype
+        return separable_local2d_apply(x.astype(dtype), vertical, horizontal, bias)
+
+
 class Local2D(nn.Module):
     """Locally-connected conv layer (reference ``ops.py#local2d``); weights
     are untied across spatial positions, so the parameter count scales with

@@ -16,14 +16,18 @@ All kernels take ``interpret=`` for CPU-mode testing; ``use_pallas()``
 gates the production path to TPU backends.
 
 Status on this build's tunneled-TPU remote-compile pipeline (re-probed
-round 2): trivial kernels still compile and run on hardware, but BOTH
-kernels below are rejected by the remote Mosaic helper (HTTP 500) — the
-CDNA kernel even after reformulating every intermediate as 2-D, and
-``composite_fused`` (which compiled on an earlier helper version). The
-production CDNA path is therefore the XLA tap-accumulation in
-``ops/cdna.py`` (which also measured faster end-to-end); these kernels
-remain A/B-tested in interpret mode for when a full Mosaic pipeline is
-available.
+round 3): the r2 "blanket HTTP 500" was shape-specific. Strictly-2-D
+ROW-WISE kernels (lane dim = channels, keepdims reductions, params as
+``[rows, C]`` blocks) compile and run on hardware — ``fused_ln_gate``
+below is the proof. What still fails: >2-D refs with tiny trailing dims
+(the CDNA kernel's ``[H,W,C=3]`` blocks and ``composite_fused``'s
+``[K,H,W,C]``), which Mosaic cannot tile onto (8,128) lanes. Measured on
+hardware (chained in-jit, value-synced): ``fused_ln_gate`` is 1.19x
+faster than XLA's loop fusion at C=64 but 1.62x SLOWER at C=32 (lane
+underfill), and the model's largest-row scale is C=32 — so the XLA path
+stays production for all three kernels; they remain parity-tested in
+interpret mode (tests/test_pallas.py), ``fused_ln_gate`` also
+compile-proven on the real Mosaic pipeline.
 """
 
 from __future__ import annotations
@@ -93,6 +97,88 @@ def apply_cdna_kernels_fused(image: jax.Array, kernels: jax.Array, interpret: bo
         scratch_shapes=[pltpu.VMEM((kh * kw, h * w * c), jnp.float32)],
         interpret=interpret,
     )(image, kmat)
+
+
+# --------------------------------------------------------------------- #
+# fused per-gate LayerNorm + ConvLSTM gate math (row-wise 2-D)
+# --------------------------------------------------------------------- #
+_LN_EPS = 1e-6
+
+
+def _ln_rows(x, scale, bias):
+    """LayerNorm over the lane (last) axis; keepdims so every
+    intermediate stays 2-D (this Mosaic pipeline's constraint)."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + _LN_EPS) * scale + bias
+
+
+def _ln_gate_kernel(forget_bias, z_ref, c_ref, lnp_ref, c_out_ref, h_out_ref):
+    """Rows x channels formulation of ``ops/rnn.py#ConvLSTMCell`` post-conv
+    math: z [R,4C] gate preactivations, c [R,C] previous cell, lnp [10,C]
+    LN scale/bias rows for (i, f, g, o, c) -> (c_new, h_new) [R,C].
+
+    The whole chain — four per-gate LNs, sigmoids/tanh, cell update, cell
+    LN, output gate — runs in VMEM in fp32 and writes exactly two [R,C]
+    outputs, vs. the XLA loop fusion's multiple intermediate
+    materializations."""
+    cdim = c_ref.shape[-1]
+    z = z_ref[:].astype(jnp.float32)
+    c = c_ref[:].astype(jnp.float32)
+    lnp = lnp_ref[:].astype(jnp.float32)
+    i = _ln_rows(z[:, 0 * cdim : 1 * cdim], lnp[0:1, :], lnp[1:2, :])
+    f = _ln_rows(z[:, 1 * cdim : 2 * cdim], lnp[2:3, :], lnp[3:4, :])
+    g = _ln_rows(z[:, 2 * cdim : 3 * cdim], lnp[4:5, :], lnp[5:6, :])
+    o = _ln_rows(z[:, 3 * cdim : 4 * cdim], lnp[6:7, :], lnp[7:8, :])
+    i = jax.nn.sigmoid(i)
+    f = jax.nn.sigmoid(f + forget_bias)
+    g = jnp.tanh(g)
+    o = jax.nn.sigmoid(o)
+    c_new = f * c + i * g
+    c_ln = _ln_rows(c_new, lnp[8:9, :], lnp[9:10, :])
+    h_new = o * jnp.tanh(c_ln)
+    c_out_ref[:] = c_new.astype(c_out_ref.dtype)
+    h_out_ref[:] = h_new.astype(h_out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("forget_bias", "block_rows", "interpret"))
+def fused_ln_gate(
+    z: jax.Array,
+    c: jax.Array,
+    ln_params: jax.Array,
+    forget_bias: float = 1.0,
+    block_rows: int = 512,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused normalized-ConvLSTM gate math: ``z [R,4C]`` preactivations +
+    ``c [R,C]`` + ``ln_params [10,C]`` (scale/bias rows for i,f,g,o,c)
+    -> ``(c_new, h_new)`` each ``[R,C]`` in ``c.dtype``.
+
+    Forward-only (``pallas_call`` is not AD-differentiable; production
+    training keeps the XLA path — see module docstring for the measured
+    C=32 lane-underfill loss that also argues against integration)."""
+    r, _ = z.shape
+    cdim = c.shape[-1]
+    if r % block_rows:
+        block_rows = r
+    return pl.pallas_call(
+        functools.partial(_ln_gate_kernel, forget_bias),
+        grid=(r // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, 4 * cdim), lambda ib: (ib, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, cdim), lambda ib: (ib, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((10, cdim), lambda ib: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_rows, cdim), lambda ib: (ib, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, cdim), lambda ib: (ib, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, cdim), c.dtype),
+            jax.ShapeDtypeStruct((r, cdim), c.dtype),
+        ],
+        interpret=interpret,
+    )(z, c, ln_params)
 
 
 # --------------------------------------------------------------------- #
