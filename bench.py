@@ -190,9 +190,14 @@ def _bench_one(batch_size: int, n_steps: int = 30):
 
 
 def main():
-    n_chips = jax.device_count()
+    from video_prediction_tpu.utils.watchdog import device_init_or_die
+
+    devices = device_init_or_die(
+        json_stdout=True, metric="train_frames_per_sec_per_chip_bair64_savp"
+    )
+    n_chips = len(devices)
     peak = _peak_flops()
-    device_kind = jax.devices()[0].device_kind
+    device_kind = devices[0].device_kind
 
     rows = {}
     headline_fps = None

@@ -88,3 +88,17 @@ class TestTraceSummary:
         assert abs(top["gbps"] - 1000.0) < 1e-6  # 2 GB in 2 ms
         table = format_table(total, steps, rows)
         assert "fusion" in table and "ms/step" in table
+
+
+class TestWatchdog:
+    def test_returns_devices_and_disarms_on_healthy_backend(self):
+        # conftest forces the CPU backend, so init completes instantly; a
+        # short timeout must NOT fire after done.set() (regression guard
+        # for the disarm path — firing would os._exit(3) and kill pytest).
+        import time
+
+        from video_prediction_tpu.utils.watchdog import device_init_or_die
+
+        devices = device_init_or_die(timeout_s=0.2)
+        assert len(devices) >= 1
+        time.sleep(0.4)  # give a buggy (non-disarmed) watchdog time to fire
