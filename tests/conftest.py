@@ -32,6 +32,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
+# sitecustomize imports jax at interpreter startup, so the env vars above
+# never reach jax's config in this process — config.update is required
+# (same trap as jax_platforms). Env setdefaults still cover subprocesses.
+if jax.config.jax_compilation_cache_dir is None:
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
 
 assert jax.devices()[0].platform == "cpu", f"tests must run on CPU, got {jax.devices()}"
 assert jax.device_count() == 8, f"expected 8 virtual CPU devices, got {jax.device_count()}"

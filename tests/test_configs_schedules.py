@@ -61,6 +61,15 @@ class TestZoo:
         assert hp.nz > 0 and hp.kl_weight > 0
         assert hp.video_sn_gan_weight > 0 and hp.video_sn_vae_gan_weight > 0
 
+    def test_gate_conv_default_is_checkpoint_compatible(self):
+        # Run dirs written before lstm_gate_conv existed saved a
+        # model_hparams.json WITHOUT the key but hold split-layout param
+        # trees; changing this default silently makes every one of those
+        # checkpoints unrestorable (evaluate.py rebuilds the model from
+        # the saved json + defaults). If you change it, ship a param-tree
+        # migration in train/checkpoint.py first.
+        assert ModelHparams().lstm_gate_conv == "split"
+
 
 class TestSchedules:
     def test_lr_decay_endpoints(self):

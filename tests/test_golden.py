@@ -47,6 +47,10 @@ def _setup():
         num_transformed_images=2,
         conv_rnn_norm=False,
         schedule_sampling="always",
+        # pinned: the committed constants were generated with the merged
+        # gate layout; the hparam DEFAULT is "split" (pre-existing
+        # checkpoint compatibility), so keep this explicit
+        lstm_gate_conv="merged",
     )
     model = get_model_class("savp")(hp)
     return model, batch
@@ -75,6 +79,7 @@ class TestGolden:
             conv_rnn_norm=False, schedule_sampling="always",
             video_sn_gan_weight=0.1, video_sn_vae_gan_weight=0.1,
             vae_gan_feature_l2_weight=1.0, gan_loss_type="LSGAN", clip_length=4,
+            lstm_gate_conv="merged",  # see _setup: constants pin this layout
         )
         model = get_model_class("savp")(hp)
         ts = create_train_state(model, jax.random.PRNGKey(42), batch)

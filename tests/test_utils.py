@@ -102,3 +102,23 @@ class TestWatchdog:
         devices = device_init_or_die(timeout_s=0.2)
         assert len(devices) >= 1
         time.sleep(0.4)  # give a buggy (non-disarmed) watchdog time to fire
+
+    def test_disarms_when_device_query_raises(self, monkeypatch):
+        # A FAILED backend registration makes jax.devices() raise rather
+        # than hang (e.g. a swallowed plugin register() error). The
+        # watchdog must disarm on that path too — otherwise a caller that
+        # catches the exception is os._exit(3)'d up to timeout_s later.
+        import time
+
+        import jax
+        import pytest
+
+        from video_prediction_tpu.utils.watchdog import device_init_or_die
+
+        def boom():
+            raise RuntimeError("backend registration failed")
+
+        monkeypatch.setattr(jax, "devices", boom)
+        with pytest.raises(RuntimeError, match="registration failed"):
+            device_init_or_die(timeout_s=0.2)
+        time.sleep(0.4)  # a non-disarmed watchdog would kill pytest here

@@ -22,10 +22,18 @@ import os as _os
 
 # Persistent XLA compile cache for every entry point (CLIs, bench, tests):
 # full-size SAVP compiles run minutes (remote TPU compile; 1-core host), and
-# without this each `scripts/*.py` invocation pays it again. setdefault so
-# users/env can redirect it.
-_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
-_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# without this each `scripts/*.py` invocation pays it again. On this box
+# ``sitecustomize`` imports jax at interpreter startup, so jax has already
+# frozen its config from the environment before ANY user code runs — the
+# env var alone is a silent no-op in-process (verified: config stays None)
+# and ``jax.config.update`` is the only path that activates the cache. The
+# env setdefault is still kept so spawned subprocesses inherit the setting.
+_CACHE_DIR = _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
+
+import jax as _jax
+
+if _jax.config.jax_compilation_cache_dir is None:
+    _jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 
 __version__ = "0.1.0"

@@ -121,12 +121,17 @@ class ModelHparams:
     # batch 16 — XLA pipelines across timesteps; see ARCHITECTURE.md)
     scan_unroll: int = 1
     # ConvLSTM gate-conv layout: "merged" = one conv over concat([x, h])
-    # (fastest with the fully-unrolled scan — the headline operating
-    # point); "split" = separate x/h convs + add (fastest in the
-    # rolled-scan remat regime, e.g. large batch). Param trees differ —
-    # a checkpoint is tied to the layout it was trained with. Measured
-    # numbers in ARCHITECTURE.md perf notes (round 3).
-    lstm_gate_conv: str = "merged"  # merged | split
+    # (reference BasicConv2DLSTMCell structure; fastest with the
+    # fully-unrolled scan — the headline operating point); "split" =
+    # separate x/h convs + add (fastest in the rolled-scan remat regime,
+    # e.g. large batch). Param trees differ — a checkpoint is tied to the
+    # layout it was trained with, and run dirs from before this hparam
+    # existed all hold the split layout, so the DEFAULT must stay "split"
+    # or their saved model_hparams.json (which lacks the key) would
+    # rebuild an unrestorable merged tree. Unroll-0 zoo configs and
+    # bench.py opt into "merged" explicitly. Measured numbers in
+    # ARCHITECTURE.md perf notes (round 3).
+    lstm_gate_conv: str = "split"  # merged | split
 
     def replace(self, **kw) -> "ModelHparams":
         return dataclasses.replace(self, **kw)

@@ -18,6 +18,20 @@ import os
 from typing import Sequence, Tuple
 
 
+def _load_frame(path: str, size: Tuple[int, int], center_crop: bool):
+    """uint8 RGB PIL image, optionally center-cropped to square first
+    (aspect-preserving, the SAVP preprocessing for non-square sources)."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    if center_crop:
+        w, h = img.size
+        side = min(w, h)
+        left, top = (w - side) // 2, (h - side) // 2
+        img = img.crop((left, top, left + side, top + side))
+    return img.resize(size[::-1])
+
+
 def convert_video_dir(
     writer,
     frame_paths: Sequence[str],
@@ -25,17 +39,17 @@ def convert_video_dir(
     window: int = 30,
     size: Tuple[int, int] = (64, 64),
     stride: int | None = None,
+    center_crop: bool = False,
 ) -> int:
     """Write consecutive ``window``-frame examples from one video's frames."""
     import tensorflow as tf
-    from PIL import Image
 
     stride = stride or window
     count = 0
     for start in range(0, len(frame_paths) - window + 1, stride):
         feat = {}
         for i in range(window):
-            img = Image.open(frame_paths[start + i]).convert("RGB").resize(size[::-1])
+            img = _load_frame(frame_paths[start + i], size, center_crop)
             buf = io.BytesIO()
             img.save(buf, format="JPEG", quality=95)
             feat[key_template % i] = tf.train.Feature(
@@ -48,6 +62,15 @@ def convert_video_dir(
     return count
 
 
+def list_frames(video_dir: str) -> list:
+    """Sorted image frame paths inside one video directory."""
+    return sorted(
+        glob.glob(os.path.join(video_dir, "*.png"))
+        + glob.glob(os.path.join(video_dir, "*.jpg"))
+        + glob.glob(os.path.join(video_dir, "*.jpeg"))
+    )
+
+
 def convert_tree(
     frames_root: str,
     out_dir: str,
@@ -56,8 +79,13 @@ def convert_tree(
     size: int = 64,
     val_fraction: float = 0.05,
     stride: int | None = None,
+    center_crop: bool = False,
+    record_prefix: str = "",
 ) -> Tuple[int, int]:
-    """Convert ``<frames_root>/<video>/*.{png,jpg}`` into train/val records."""
+    """Convert ``<frames_root>/<video>/*.{png,jpg}`` into train/val records.
+
+    The val split takes the head of the id-sorted video list (deterministic
+    without any external split files)."""
     import tensorflow as tf
 
     video_dirs = sorted(d for d in glob.glob(os.path.join(frames_root, "*")) if os.path.isdir(d))
@@ -69,17 +97,15 @@ def convert_tree(
     counts = {}
     for split, dirs in splits.items():
         os.makedirs(os.path.join(out_dir, split), exist_ok=True)
-        path = os.path.join(out_dir, split, f"{split}.tfrecord")
+        path = os.path.join(out_dir, split, f"{record_prefix}{split}.tfrecord")
         with tf.io.TFRecordWriter(path) as w:
             n = 0
             for vdir in dirs:
-                frames = sorted(
-                    glob.glob(os.path.join(vdir, "*.png"))
-                    + glob.glob(os.path.join(vdir, "*.jpg"))
-                    + glob.glob(os.path.join(vdir, "*.jpeg"))
-                )
+                frames = list_frames(vdir)
                 if len(frames) >= window:
-                    n += convert_video_dir(w, frames, key_template, window, (size, size), stride)
+                    n += convert_video_dir(
+                        w, frames, key_template, window, (size, size), stride, center_crop
+                    )
             counts[split] = n
     return counts.get("train", 0), counts.get("val", 0)
 

@@ -23,13 +23,12 @@ the SAVP preprocessing does for non-square sources.
 
 from __future__ import annotations
 
-import glob
-import io
 import os
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 from video_prediction_tpu.configs.hparams import DatasetHparams
 from video_prediction_tpu.data.base import VideoDataset, _tf
+from video_prediction_tpu.data.convert import convert_tree, convert_video_dir, list_frames
 
 
 class SomethingSomethingVideoDataset(VideoDataset):
@@ -55,18 +54,6 @@ class SomethingSomethingVideoDataset(VideoDataset):
 # ---------------------------------------------------------------------- #
 
 
-def _load_square(path: str, size: int):
-    """Center-crop to square, then resize (uint8 PIL image)."""
-    from PIL import Image
-
-    img = Image.open(path).convert("RGB")
-    w, h = img.size
-    side = min(w, h)
-    left, top = (w - side) // 2, (h - side) // 2
-    img = img.crop((left, top, left + side, top + side))
-    return img.resize((size, size))
-
-
 def save_tf_record(
     out_path: str,
     video_dirs: Sequence[str],
@@ -74,38 +61,32 @@ def save_tf_record(
     size: int = 64,
     stride: int | None = None,
 ) -> int:
-    """Write fixed-length JPEG windows from each clip's frame directory."""
+    """Write fixed-length JPEG windows from each clip's frame directory.
+
+    Thin wrapper over the generic :func:`data.convert.convert_video_dir`
+    with ``center_crop=True`` (20BN sources are non-square; crop to square
+    before resize instead of distorting the aspect ratio)."""
     tf = _tf()
-    stride = stride or window
     count = 0
     with tf.io.TFRecordWriter(out_path) as writer:
         for vdir in video_dirs:
-            frames = sorted(
-                glob.glob(os.path.join(vdir, "*.jpg"))
-                + glob.glob(os.path.join(vdir, "*.jpeg"))
-                + glob.glob(os.path.join(vdir, "*.png"))
+            count += convert_video_dir(
+                writer,
+                list_frames(vdir),
+                key_template="%d/image/encoded",
+                window=window,
+                size=(size, size),
+                stride=stride,
+                center_crop=True,
             )
-            for start in range(0, len(frames) - window + 1, stride):
-                feat = {}
-                for i in range(window):
-                    buf = io.BytesIO()
-                    _load_square(frames[start + i], size).save(buf, format="JPEG", quality=95)
-                    feat[f"{i}/image/encoded"] = tf.train.Feature(
-                        bytes_list=tf.train.BytesList(value=[buf.getvalue()])
-                    )
-                feat["sequence_length"] = tf.train.Feature(
-                    int64_list=tf.train.Int64List(value=[window])
-                )
-                ex = tf.train.Example(features=tf.train.Features(feature=feat))
-                writer.write(ex.SerializeToString())
-                count += 1
     return count
 
 
 def partition_data(video_dirs: List[str], val_fraction: float = 0.02):
     """Deterministic train/val split by video id (the official 20BN split
-    lists live in JSON label files we may not have offline; a stable
-    id-ordered tail split keeps the converter self-contained)."""
+    lists live in JSON label files we may not have offline; a stable split
+    taking the head of the id-sorted list as val keeps the converter
+    self-contained — same rule as ``data.convert.convert_tree``)."""
     n_val = max(1, int(len(video_dirs) * val_fraction)) if val_fraction > 0 else 0
     return video_dirs[n_val:], video_dirs[:n_val]
 
@@ -122,21 +103,16 @@ def main():
     p.add_argument("--val_fraction", type=float, default=0.02)
     args = p.parse_args()
 
-    video_dirs = sorted(
-        d for d in glob.glob(os.path.join(args.frames_root, "*")) if os.path.isdir(d)
-    )
-    if not video_dirs:
-        raise FileNotFoundError(f"no video dirs under {args.frames_root!r}")
-    train, val = partition_data(video_dirs, args.val_fraction)
-    os.makedirs(os.path.join(args.out_dir, "train"), exist_ok=True)
-    os.makedirs(os.path.join(args.out_dir, "val"), exist_ok=True)
-    n1 = save_tf_record(
-        os.path.join(args.out_dir, "train", "something_train.tfrecord"),
-        train, args.window, args.image_size, args.stride or None,
-    )
-    n2 = save_tf_record(
-        os.path.join(args.out_dir, "val", "something_val.tfrecord"),
-        val, args.window, args.image_size, args.stride or None,
+    n1, n2 = convert_tree(
+        args.frames_root,
+        args.out_dir,
+        key_template="%d/image/encoded",
+        window=args.window,
+        size=args.image_size,
+        val_fraction=args.val_fraction,
+        stride=args.stride or None,
+        center_crop=True,
+        record_prefix="something_",
     )
     print(f"wrote {n1} train / {n2} val sequences")
 

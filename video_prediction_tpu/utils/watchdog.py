@@ -50,6 +50,12 @@ def device_init_or_die(
         os._exit(3)
 
     threading.Thread(target=_fire, daemon=True).start()
-    devices = jax.devices()
-    done.set()
+    # finally: a FAILED backend registration makes jax.devices() raise
+    # rather than hang (e.g. a swallowed axon register() error); the
+    # watchdog must disarm on that path too, or a caller that catches the
+    # exception gets hard-killed up to timeout_s later.
+    try:
+        devices = jax.devices()
+    finally:
+        done.set()
     return devices
