@@ -12,6 +12,7 @@ in the commit message.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from video_prediction_tpu.configs.hparams import ModelHparams
 from video_prediction_tpu.data.synthetic import SyntheticVideoDataset
@@ -31,6 +32,23 @@ GOLDEN_LOSSES = [0.086703, 0.082483, 0.078181, 0.074547, 0.069578]
 # stop-grad fix (real features are a pure target now).
 GOLDEN_GAN_G = [0.287486, 0.277969, 0.268314, 0.256942, 0.241903]
 GOLDEN_GAN_D = [0.199894, 0.198031, 0.195912, 0.192767, 0.189023]
+
+# generated 2026-08-18 (round 3): fixed-seed 5-step g_loss for the other
+# trainable model families (dna = Finn-2016 relu-normalized per-pixel
+# kernels + action/state conditioning; sna = first-image-background skip;
+# sv2p = nz>0 where_add=middle KL-annealed) so the model_zoo realizations
+# are drift-guarded like the savp paths. Full synthetic batch (images +
+# actions + states), default split gate layout, seed 42 / data seed 0.
+GOLDEN_ZOO = {
+    "dna": [0.024232, 0.02293, 0.021497, 0.019935, 0.018271],
+    "sna": [0.009134, 0.008537, 0.007921, 0.007289, 0.006651],
+    "sv2p": [0.016737, 0.015467, 0.014523, 0.012845, 0.012385],
+}
+_ZOO_EXTRA = {
+    "dna": {},
+    "sna": dict(num_transformed_images=2),
+    "sv2p": dict(nz=4, kl_anneal_steps=(2, 4), num_transformed_images=2),
+}
 
 
 def _setup():
@@ -91,6 +109,25 @@ class TestGolden:
             d.append(float(sc["d_loss"]))
         np.testing.assert_allclose(g, GOLDEN_GAN_G, rtol=1e-4)
         np.testing.assert_allclose(d, GOLDEN_GAN_D, rtol=1e-4)
+
+    @pytest.mark.parametrize("name", sorted(GOLDEN_ZOO))
+    def test_zoo_model_loss_trajectories(self, name):
+        ds = SyntheticVideoDataset(mode="train", seed=0, image_size=16)
+        raw = next(ds.make_iterator(2))
+        batch = {k: jnp.asarray(v[:, :6]) for k, v in raw.items()}
+        cls = get_model_class(name)
+        hp = cls.default_hparams().replace(
+            ngf=4, nef=8, conv_rnn_norm=False, schedule_sampling="always",
+            context_frames=2, sequence_length=6, **_ZOO_EXTRA[name],
+        )
+        model = cls(hp)
+        ts = create_train_state(model, jax.random.PRNGKey(42), batch)
+        step = make_train_step(model, donate=False)
+        losses = []
+        for _ in range(5):
+            ts, sc = step(ts, batch)
+            losses.append(float(sc["g_loss"]))
+        np.testing.assert_allclose(losses, GOLDEN_ZOO[name], rtol=1e-4)
 
     def test_init_is_deterministic(self):
         model, batch = _setup()
