@@ -244,7 +244,10 @@ def main(argv=None):
                 # functions of the step, computed host-side
                 import jax.numpy as jnp
 
-                sj = jnp.asarray(step, jnp.float32)
+                # evaluate at `prev` — the step counter the train step
+                # actually used internally for these losses (with fused
+                # steps_per_call, `step` is already spc ahead of it)
+                sj = jnp.asarray(prev, jnp.float32)
                 vals["lr"] = float(schedules.learning_rate(sj, hp))
                 vals["schedule_sampling_prob"] = float(schedules.ground_truth_prob(sj, hp))
                 if hp.kl_weight:

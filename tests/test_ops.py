@@ -175,8 +175,10 @@ class TestConvRNN:
         assert h.shape == (1, 4, 4, 4)
 
     def test_convlstm_matches_manual_equations(self):
-        # Cross-check the cell against hand-rolled LSTM equations.
-        cell = ops.ConvLSTMCell(features=3, kernel_size=3)
+        # Cross-check the cell against hand-rolled LSTM equations. The
+        # equations below read the merged "gates" param (the split layout
+        # is covered by the equivalence test above).
+        cell = ops.ConvLSTMCell(features=3, kernel_size=3, gate_conv="merged")
         rng = jax.random.PRNGKey(42)
         x = jax.random.normal(rng, (2, 5, 5, 4))
         c0 = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 5, 3))

@@ -44,7 +44,10 @@ class ConvLSTMCell(nn.Module):
     # remat regime (batch 64 unroll 6: 713 vs 746 ms/step, the merged
     # form's concat inflates remat recompute). Param trees differ, so a
     # checkpoint is tied to its layout (hparams travel in options.json).
-    gate_conv: str = "merged"
+    # Default "split" matches ModelHparams.lstm_gate_conv and the param
+    # layout every pre-round-3 checkpoint holds (SAVPCell always passes
+    # the hparam explicitly; this default protects direct cell users).
+    gate_conv: str = "split"
     dtype: Dtype | None = None
 
     def initialize_carry(self, batch: int, spatial: Tuple[int, int], dtype=jnp.float32):
