@@ -49,6 +49,44 @@ class TestReaderParser:
         )
         np.testing.assert_allclose(feats["0/action"], ref["0/action"].numpy())
 
+    def test_iter_examples_matches_parse_example(self, fixture_dir):
+        """The batched zero-copy path (tfr_next_chunk + tfrex_parse_view +
+        tfrex_pack) yields the same feature dicts as the per-record API."""
+        d, _ = fixture_dir
+        path = f"{d}/traj_0.tfrecord"
+        old = [native.parse_example(r) for r in native.read_records(path)]
+        new = list(native.iter_examples(path))
+        assert len(old) == len(new) == 4
+        for o, n in zip(old, new):
+            assert set(o) == set(n)
+            for k, ov in o.items():
+                if isinstance(ov, list):  # bytes feature (views in new path)
+                    assert [bytes(v) for v in ov] == [bytes(v) for v in n[k]]
+                else:
+                    np.testing.assert_array_equal(ov, np.asarray(n[k]))
+
+    def test_iter_examples_chunk_boundaries(self, fixture_dir):
+        """Tiny chunk limits (1 record / few bytes per chunk) must not
+        change the stream."""
+        d, _ = fixture_dir
+        path = f"{d}/traj_0.tfrecord"
+        full = [bytes(v[0]) for ex in native.iter_examples(path) for v in [ex["0/image_aux1/encoded"]]]
+        for kw in ({"max_records": 1}, {"max_bytes": 1}, {"max_records": 3}):
+            got = [
+                bytes(ex["0/image_aux1/encoded"][0])
+                for ex in native.iter_examples(path, **kw)
+            ]
+            assert got == full, kw
+
+    def test_iter_examples_crc_corruption(self, fixture_dir, tmp_path):
+        d, _ = fixture_dir
+        raw = open(f"{d}/traj_0.tfrecord", "rb").read()
+        bad = raw[:40] + bytes([raw[40] ^ 0xFF]) + raw[41:]
+        p = tmp_path / "bad_iter.tfrecord"
+        p.write_bytes(bad)
+        with pytest.raises(IOError, match="CRC"):
+            list(native.iter_examples(str(p)))
+
     def test_crc_corruption_detected(self, fixture_dir, tmp_path):
         d, _ = fixture_dir
         raw = open(f"{d}/traj_0.tfrecord", "rb").read()
@@ -92,6 +130,11 @@ class TestReaderParser:
                 buf[at : at + 8] = (2**63 - rng.randint(1, 1000)).to_bytes(8, "little")
             p.write_bytes(bytes(buf))
             for verify_crc in (True, False):
+                # the batched zero-copy path must be equally crash-proof
+                try:
+                    list(native.iter_examples(str(p), verify_crc=verify_crc))
+                except (IOError, ValueError):
+                    pass
                 try:
                     records = list(native.read_records(str(p), verify_crc=verify_crc))
                 except (IOError, ValueError):

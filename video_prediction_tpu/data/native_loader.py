@@ -89,8 +89,9 @@ class NativeVideoPipeline:
             raise FileNotFoundError(f"no tfrecords under {dataset.input_dir!r}")
 
     # ------------------------------------------------------------------ #
-    def _records(self) -> Iterator[bytes]:
-        """Infinite (repeated) stream of raw records."""
+    def _feature_dicts(self) -> Iterator[Dict[str, Any]]:
+        """Infinite (repeated) stream of parsed feature dicts, via the
+        batched zero-copy C boundary (``native.iter_examples``)."""
         from video_prediction_tpu import native
 
         files = list(self.ds.filenames)
@@ -98,11 +99,10 @@ class NativeVideoPipeline:
             if self.shuffle:
                 self.rng.shuffle(files)
             for f in files:
-                yield from native.read_records(f)
+                yield from native.iter_examples(f)
 
     def _examples(self) -> Iterator[Dict[str, np.ndarray]]:
         """Parsed + sliced examples, with a shuffle buffer in train mode."""
-        from video_prediction_tpu import native
 
         hp = self.ds.hparams
         source_len = self.ds.source_sequence_length
@@ -125,8 +125,8 @@ class NativeVideoPipeline:
             return {k: v[off : off + span : stride] for k, v in ex.items()}
 
         buf: List[Dict[str, np.ndarray]] = []
-        for rec in self._records():
-            ex = self.ds.parse_example_np(native.parse_example(rec))
+        for feats in self._feature_dicts():
+            ex = self.ds.parse_example_np(feats)
             if not self.shuffle:
                 yield slice_one(ex)
                 continue

@@ -22,8 +22,18 @@
 #include <string>
 #include <vector>
 
+#if defined(__x86_64__) || defined(__i386__)
+#include <immintrin.h>
+#define TFR_X86 1
+#endif
+
 // ---------------------------------------------------------------------- //
-// CRC32C (Castagnoli), table-driven; masked per the TFRecord spec.
+// CRC32C (Castagnoli), masked per the TFRecord spec. Hardware SSE4.2
+// crc32 instruction when the CPU has it (~1 byte/cycle table-driven vs
+// ~8 bytes/cycle hw — CRC over every record byte otherwise dominates the
+// whole read path, measured 78% of read time on BAIR-sized records),
+// table-driven fallback elsewhere. Runtime-dispatched so the .so stays
+// portable (built without -msse4.2; the hw path carries a target attr).
 // ---------------------------------------------------------------------- //
 
 static uint32_t crc32c_table[256];
@@ -40,12 +50,37 @@ static void crc32c_init() {
   crc32c_init_done = true;
 }
 
-static uint32_t crc32c(const uint8_t* data, size_t n) {
+static uint32_t crc32c_sw(const uint8_t* data, size_t n) {
   crc32c_init();
   uint32_t c = 0xFFFFFFFFu;
   for (size_t i = 0; i < n; ++i)
     c = crc32c_table[(c ^ data[i]) & 0xFF] ^ (c >> 8);
   return c ^ 0xFFFFFFFFu;
+}
+
+#ifdef TFR_X86
+__attribute__((target("sse4.2"))) static uint32_t crc32c_hw(
+    const uint8_t* data, size_t n) {
+  uint64_t c = 0xFFFFFFFFu;
+  while (n >= 8) {
+    uint64_t v;
+    std::memcpy(&v, data, 8);
+    c = _mm_crc32_u64(c, v);
+    data += 8;
+    n -= 8;
+  }
+  uint32_t c32 = (uint32_t)c;
+  while (n--) c32 = _mm_crc32_u8(c32, *data++);
+  return c32 ^ 0xFFFFFFFFu;
+}
+#endif
+
+static uint32_t crc32c(const uint8_t* data, size_t n) {
+#ifdef TFR_X86
+  static const bool has_hw = __builtin_cpu_supports("sse4.2");
+  if (has_hw) return crc32c_hw(data, n);
+#endif
+  return crc32c_sw(data, n);
 }
 
 static uint32_t masked_crc32c(const uint8_t* data, size_t n) {
@@ -62,6 +97,9 @@ struct TfrReader {
   std::vector<uint8_t> buf;
   bool verify = true;
   std::string error;
+  // chunked-read state (tfr_next_chunk)
+  std::vector<uint8_t> chunk;
+  std::vector<uint64_t> chunk_lens;
 };
 
 extern "C" {
@@ -113,6 +151,63 @@ int tfr_next(TfrReader* r, const uint8_t** data, uint64_t* len) {
   *data = r->buf.data();
   *len = length;
   return 1;
+}
+
+// Batched framing: read up to max_records records (stopping early once the
+// packed payload reaches max_bytes) into one internal buffer, so the Python
+// side pays ONE ctypes round-trip per chunk instead of per record. On a
+// framing/CRC error the whole chunk is dropped and -1 returned (training
+// streams treat a corrupt file as fatal; per-record partial-yield semantics
+// live in tfr_next for callers that need them).
+// Returns 1 with *count > 0, 0 at clean EOF (*count == 0), -1 on error.
+int tfr_next_chunk(TfrReader* r, uint64_t max_records, uint64_t max_bytes,
+                   const uint8_t** data, const uint64_t** lens,
+                   uint64_t* count) {
+  r->chunk.clear();
+  r->chunk_lens.clear();
+  while (r->chunk_lens.size() < max_records) {
+    uint8_t header[12];
+    size_t got = std::fread(header, 1, 12, r->f);
+    if (got == 0 && std::feof(r->f)) break;
+    if (got != 12) {
+      r->error = "truncated record header";
+      return -1;
+    }
+    uint64_t length;
+    uint32_t length_crc;
+    std::memcpy(&length, header, 8);
+    std::memcpy(&length_crc, header + 8, 4);
+    if (r->verify && masked_crc32c(header, 8) != length_crc) {
+      r->error = "length CRC mismatch";
+      return -1;
+    }
+    if (length > (1ull << 33)) {
+      r->error = "record length implausible (corrupt framing?)";
+      return -1;
+    }
+    size_t off = r->chunk.size();
+    r->chunk.resize(off + length);
+    uint8_t crc_buf[4];
+    if (std::fread(r->chunk.data() + off, 1, length, r->f) != length ||
+        std::fread(crc_buf, 1, 4, r->f) != 4) {
+      r->error = "truncated record body";
+      return -1;
+    }
+    if (r->verify) {
+      uint32_t data_crc;
+      std::memcpy(&data_crc, crc_buf, 4);
+      if (masked_crc32c(r->chunk.data() + off, length) != data_crc) {
+        r->error = "data CRC mismatch";
+        return -1;
+      }
+    }
+    r->chunk_lens.push_back(length);
+    if (r->chunk.size() >= max_bytes) break;
+  }
+  *data = r->chunk.data();
+  *lens = r->chunk_lens.data();
+  *count = r->chunk_lens.size();
+  return *count > 0 ? 1 : 0;
 }
 
 const char* tfr_error(TfrReader* r) { return r->error.c_str(); }
@@ -280,12 +375,9 @@ static void parse_feature(Cursor c, FeatureEntry* e) {
   }
 }
 
-extern "C" {
-
-ExampleParser* tfrex_parse(const uint8_t* data, uint64_t len) {
-  ExampleParser* ep = new ExampleParser();
-  ep->owned.assign(data, data + len);
-  Cursor c{ep->owned.data(), ep->owned.data() + len};
+static void tfrex_parse_into(ExampleParser* ep, const uint8_t* base,
+                             uint64_t len) {
+  Cursor c{base, base + len};
   while (c.ok && c.p < c.end) {
     uint64_t tag = c.varint();
     if (!c.ok) break;
@@ -322,7 +414,80 @@ ExampleParser* tfrex_parse(const uint8_t* data, uint64_t len) {
     }
   }
   if (!c.ok) ep->error = "malformed Example proto";
+}
+
+extern "C" {
+
+ExampleParser* tfrex_parse(const uint8_t* data, uint64_t len) {
+  ExampleParser* ep = new ExampleParser();
+  ep->owned.assign(data, data + len);
+  tfrex_parse_into(ep, ep->owned.data(), len);
   return ep;
+}
+
+// Zero-copy variant: Slices point into the CALLER's buffer, which must stay
+// valid for the handle's lifetime (used with tfr_next_chunk, whose chunk
+// buffer outlives each per-record parse).
+ExampleParser* tfrex_parse_view(const uint8_t* data, uint64_t len) {
+  ExampleParser* ep = new ExampleParser();
+  tfrex_parse_into(ep, data, len);
+  return ep;
+}
+
+// Packed export: serialize the whole parsed example in TWO calls instead of
+// ~5 per feature. Entry order is parse order. Bytes values are exported as
+// (offset, length) pairs relative to `base` — zero copies for image
+// payloads when parsing a view of the chunk buffer.
+void tfrex_pack_sizes(ExampleParser* ep, uint64_t* keys_len,
+                      uint64_t* n_byte_items, uint64_t* floats_total,
+                      uint64_t* int64s_total) {
+  uint64_t kl = 0, nb = 0, nf = 0, ni = 0;
+  for (const auto& e : ep->entries) {
+    kl += e.key.size();
+    nb += e.bytes_vals.size();
+    nf += e.float_vals.size();
+    ni += e.int64_vals.size();
+  }
+  *keys_len = kl;
+  *n_byte_items = nb;
+  *floats_total = nf;
+  *int64s_total = ni;
+}
+
+void tfrex_pack(ExampleParser* ep, const uint8_t* base, char* keys,
+                uint64_t* key_lens, int32_t* types, uint64_t* nvals,
+                uint64_t* byte_offs, uint64_t* byte_lens, float* floats,
+                int64_t* int64s) {
+  char* kp = keys;
+  uint64_t bi = 0, fi = 0, ii = 0, idx = 0;
+  for (const auto& e : ep->entries) {
+    std::memcpy(kp, e.key.data(), e.key.size());
+    kp += e.key.size();
+    key_lens[idx] = e.key.size();
+    types[idx] = e.type;
+    switch (e.type) {
+      case 0: nvals[idx] = e.bytes_vals.size(); break;
+      case 1: nvals[idx] = e.float_vals.size(); break;
+      case 2: nvals[idx] = e.int64_vals.size(); break;
+      default: nvals[idx] = 0; break;
+    }
+    for (const auto& s : e.bytes_vals) {
+      byte_offs[bi] = (uint64_t)(s.p - base);
+      byte_lens[bi] = s.n;
+      ++bi;
+    }
+    if (!e.float_vals.empty()) {
+      std::memcpy(floats + fi, e.float_vals.data(),
+                  e.float_vals.size() * sizeof(float));
+      fi += e.float_vals.size();
+    }
+    if (!e.int64_vals.empty()) {
+      std::memcpy(int64s + ii, e.int64_vals.data(),
+                  e.int64_vals.size() * sizeof(int64_t));
+      ii += e.int64_vals.size();
+    }
+    ++idx;
+  }
 }
 
 const char* tfrex_error(ExampleParser* ep) { return ep->error.c_str(); }
