@@ -1,0 +1,42 @@
+"""Regenerate the golden constants in tests/test_golden.py.
+
+Run from the repo root: ``python tests/regen_golden.py``. Prints fresh
+``GOLDEN_*`` constants to paste into test_golden.py after an INTENTIONAL
+numerics change (state why in the commit message). Mirrors the conftest
+environment (CPU, fp32 matmuls) so the values match what pytest will see.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# env vars alone don't work on this box (sitecustomize pre-imports jax)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "float32")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import test_golden as tg  # noqa: E402
+
+
+def _r6(xs):
+    return [round(x, 6) for x in xs]
+
+
+def main():
+    g, _ = tg._trajectory(*tg._setup(), n=5)
+    print(f"GOLDEN_LOSSES = {_r6(g)}")
+    g, d = tg._trajectory(*tg._gan_setup(), n=5)
+    print(f"GOLDEN_GAN_G = {_r6(g)}")
+    print(f"GOLDEN_GAN_D = {_r6(d)}")
+    print("GOLDEN_ZOO = {")
+    for name in sorted(tg.GOLDEN_ZOO):
+        g, _ = tg._trajectory(*tg._zoo_setup(name))
+        print(f'    "{name}": {_r6(g)},')
+    print("}")
+
+
+if __name__ == "__main__":
+    main()

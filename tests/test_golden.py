@@ -5,8 +5,9 @@ regressions, rng-threading changes). CPU fp32 only — conftest pins the
 platform and matmul precision, so these are bit-stable across runs.
 
 If a change legitimately alters numerics (new architecture, different op
-order), regenerate with the snippet in this file's git history and say so
-in the commit message.
+order), regenerate with ``python tests/regen_golden.py`` (from the repo
+root; prints fresh constants to paste in) and say so in the commit
+message.
 """
 
 import jax
@@ -74,59 +75,61 @@ def _setup():
     return model, batch
 
 
+def _trajectory(model, batch, n=5):
+    """n-step (g_loss, d_loss) lists from a fresh seed-42 TrainState."""
+    ts = create_train_state(model, jax.random.PRNGKey(42), batch)
+    step = make_train_step(model, donate=False)
+    g, d = [], []
+    for _ in range(n):
+        ts, sc = step(ts, batch)
+        g.append(float(sc["g_loss"]))
+        d.append(float(sc["d_loss"]))
+    return g, d
+
+
+def _gan_setup():
+    ds = SyntheticVideoDataset(mode="train", seed=0, image_size=16)
+    batch = {"images": jnp.asarray(next(ds.make_iterator(2))["images"][:, :6])}
+    hp = ModelHparams(
+        context_frames=2, sequence_length=6, ngf=4, nef=8, ndf=4, nz=4,
+        kl_weight=0.1, l1_weight=1.0, num_transformed_images=2,
+        conv_rnn_norm=False, schedule_sampling="always",
+        video_sn_gan_weight=0.1, video_sn_vae_gan_weight=0.1,
+        vae_gan_feature_l2_weight=1.0, gan_loss_type="LSGAN", clip_length=4,
+        lstm_gate_conv="merged",  # see _setup: constants pin this layout
+    )
+    return get_model_class("savp")(hp), batch
+
+
+def _zoo_setup(name):
+    ds = SyntheticVideoDataset(mode="train", seed=0, image_size=16)
+    raw = next(ds.make_iterator(2))
+    batch = {k: jnp.asarray(v[:, :6]) for k, v in raw.items()}
+    cls = get_model_class(name)
+    hp = cls.default_hparams().replace(
+        ngf=4, nef=8, conv_rnn_norm=False, schedule_sampling="always",
+        context_frames=2, sequence_length=6, **_ZOO_EXTRA[name],
+    )
+    return cls(hp), batch
+
+
 class TestGolden:
     def test_loss_trajectory_matches_committed_values(self):
         model, batch = _setup()
-        ts = create_train_state(model, jax.random.PRNGKey(42), batch)
-        step = make_train_step(model, donate=False)
-        losses = []
-        for _ in range(len(GOLDEN_LOSSES)):
-            ts, sc = step(ts, batch)
-            losses.append(float(sc["g_loss"]))
+        losses, _ = _trajectory(model, batch, n=len(GOLDEN_LOSSES))
         np.testing.assert_allclose(losses, GOLDEN_LOSSES, rtol=1e-4)
 
     def test_gan_loss_trajectory_matches_committed_values(self):
         """Fixed-seed 5-step g/d losses for a tiny full-GAN config (video
         SN-disc + VAE-GAN + feature matching): pins spectral-norm power
         iteration and the joint G+D update against numeric drift."""
-        ds = SyntheticVideoDataset(mode="train", seed=0, image_size=16)
-        batch = {"images": jnp.asarray(next(ds.make_iterator(2))["images"][:, :6])}
-        hp = ModelHparams(
-            context_frames=2, sequence_length=6, ngf=4, nef=8, ndf=4, nz=4,
-            kl_weight=0.1, l1_weight=1.0, num_transformed_images=2,
-            conv_rnn_norm=False, schedule_sampling="always",
-            video_sn_gan_weight=0.1, video_sn_vae_gan_weight=0.1,
-            vae_gan_feature_l2_weight=1.0, gan_loss_type="LSGAN", clip_length=4,
-            lstm_gate_conv="merged",  # see _setup: constants pin this layout
-        )
-        model = get_model_class("savp")(hp)
-        ts = create_train_state(model, jax.random.PRNGKey(42), batch)
-        step = make_train_step(model, donate=False)
-        g, d = [], []
-        for _ in range(len(GOLDEN_GAN_G)):
-            ts, sc = step(ts, batch)
-            g.append(float(sc["g_loss"]))
-            d.append(float(sc["d_loss"]))
+        g, d = _trajectory(*_gan_setup(), n=len(GOLDEN_GAN_G))
         np.testing.assert_allclose(g, GOLDEN_GAN_G, rtol=1e-4)
         np.testing.assert_allclose(d, GOLDEN_GAN_D, rtol=1e-4)
 
     @pytest.mark.parametrize("name", sorted(GOLDEN_ZOO))
     def test_zoo_model_loss_trajectories(self, name):
-        ds = SyntheticVideoDataset(mode="train", seed=0, image_size=16)
-        raw = next(ds.make_iterator(2))
-        batch = {k: jnp.asarray(v[:, :6]) for k, v in raw.items()}
-        cls = get_model_class(name)
-        hp = cls.default_hparams().replace(
-            ngf=4, nef=8, conv_rnn_norm=False, schedule_sampling="always",
-            context_frames=2, sequence_length=6, **_ZOO_EXTRA[name],
-        )
-        model = cls(hp)
-        ts = create_train_state(model, jax.random.PRNGKey(42), batch)
-        step = make_train_step(model, donate=False)
-        losses = []
-        for _ in range(5):
-            ts, sc = step(ts, batch)
-            losses.append(float(sc["g_loss"]))
+        losses, _ = _trajectory(*_zoo_setup(name))
         np.testing.assert_allclose(losses, GOLDEN_ZOO[name], rtol=1e-4)
 
     def test_init_is_deterministic(self):
@@ -135,3 +138,5 @@ class TestGolden:
         p2, _ = model.init_variables(jax.random.PRNGKey(7), batch)
         for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+

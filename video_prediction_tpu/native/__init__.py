@@ -317,18 +317,22 @@ def codec_available() -> bool:
     return _load_codec() is not None
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode JPEG bytes to ``uint8 [H, W, 3]`` (RGB) via libjpeg."""
+def decode_jpeg(data) -> np.ndarray:
+    """Decode JPEG bytes (or any bytes-like, e.g. the memoryviews
+    ``iter_examples`` yields) to ``uint8 [H, W, 3]`` (RGB) via libjpeg.
+    Zero-copy in: the C decoder only reads, so the input buffer is passed
+    directly."""
     lib = _load_codec()
     if lib is None:
         raise RuntimeError("native JPEG codec unavailable (libjpeg or g++ missing)")
-    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    arr = np.frombuffer(data, np.uint8)  # no copy for bytes/memoryview
+    buf = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     h = ctypes.c_int()
     w = ctypes.c_int()
     c = ctypes.c_int()
     err = ctypes.create_string_buffer(256)
     p = lib.imgc_jpeg_decode(
-        buf, len(data), ctypes.byref(h), ctypes.byref(w), ctypes.byref(c), err, 256
+        buf, arr.size, ctypes.byref(h), ctypes.byref(w), ctypes.byref(c), err, 256
     )
     if not p:
         raise ValueError(f"jpeg decode failed: {err.value.decode()}")
