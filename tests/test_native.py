@@ -175,6 +175,19 @@ class TestNativePipeline:
         for k in b_tf:
             np.testing.assert_array_equal(b_tf[k], b_nat[k])
 
+    def test_decode_pool_matches_serial(self, fixture_dir, monkeypatch):
+        """VP_DATA_DECODE_WORKERS>1 (threaded frame decode, tf.data's
+        num_parallel_calls role) must produce bit-identical batches."""
+        d, _ = fixture_dir
+        cls = _patched(get_dataset_class("bair"))
+        hp = DatasetHparams(context_frames=2, sequence_length=12, use_state=True)
+        ds = cls(d, mode="test", hparams=hp)
+        serial = next(ds.make_iterator(2, backend="native"))
+        monkeypatch.setenv("VP_DATA_DECODE_WORKERS", "4")
+        pooled = next(ds.make_iterator(2, backend="native"))
+        for k in serial:
+            np.testing.assert_array_equal(serial[k], pooled[k])
+
     def test_time_shift_stride(self, fixture_dir):
         d, truth = fixture_dir
         cls = _patched(get_dataset_class("bair"))

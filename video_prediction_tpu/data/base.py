@@ -30,6 +30,36 @@ def _tf():
     return tf
 
 
+def _pil_decode(raw) -> np.ndarray:
+    import io
+
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+
+
+_DECODE_POOL = None
+
+
+def _decode_pool():
+    """Shared frame-decode thread pool for the native backend, sized by
+    ``VP_DATA_DECODE_WORKERS`` (0/1 = serial, the default). The native
+    JPEG decoder releases the GIL, so N workers scale the decode-bound
+    path nearly linearly on an N-core host — the role tf.data's
+    ``num_parallel_calls`` plays for the reference pipeline. Correctness
+    is covered by a pooled-vs-serial parity test; throughput gains are
+    unmeasurable on this 1-core build box."""
+    global _DECODE_POOL
+    n = int(os.environ.get("VP_DATA_DECODE_WORKERS", "0"))
+    if n <= 1:
+        return None
+    if _DECODE_POOL is None or _DECODE_POOL._max_workers != n:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _DECODE_POOL = ThreadPoolExecutor(n, thread_name_prefix="vp-decode")
+    return _DECODE_POOL
+
+
 class BaseVideoDataset:
     """API mirror of the reference's ``BaseVideoDataset``:
     ``__init__(input_dir, mode, hparams)``, ``make_batch``/``make_iterator``,
@@ -266,31 +296,25 @@ class VideoDataset(BaseVideoDataset):
             time_indices = range(self.SOURCE_SEQUENCE_LENGTH)
         h, w, c = self.IMAGE_SHAPE
         hp = self.hparams
-        frames = []
-        for i in time_indices:
-            (raw,) = feats[self.IMAGE_KEY % i]
-            if self.IMAGE_ENCODING == "raw":
-                img = np.frombuffer(raw, np.uint8).reshape(h, w, c)
-            elif self.IMAGE_ENCODING == "jpeg":
-                from video_prediction_tpu import native
+        raws = [feats[self.IMAGE_KEY % i][0] for i in time_indices]
+        if self.IMAGE_ENCODING == "raw":
+            decode = lambda raw: np.frombuffer(raw, np.uint8).reshape(h, w, c)
+        elif self.IMAGE_ENCODING == "jpeg":
+            from video_prediction_tpu import native
 
-                if native.codec_available():
-                    img = native.decode_jpeg(raw)  # C++ libjpeg, no PIL
-                else:  # pragma: no cover - fallback when libjpeg is absent
-                    import io
-
-                    from PIL import Image
-
-                    img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
-            elif self.IMAGE_ENCODING == "png":
-                import io
-
-                from PIL import Image
-
-                img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
-            else:
-                raise ValueError(self.IMAGE_ENCODING)
-            frames.append(img)
+            if native.codec_available():
+                decode = native.decode_jpeg  # C++ libjpeg, no PIL
+            else:  # pragma: no cover - fallback when libjpeg is absent
+                decode = _pil_decode
+        elif self.IMAGE_ENCODING == "png":
+            decode = _pil_decode
+        else:
+            raise ValueError(self.IMAGE_ENCODING)
+        pool = _decode_pool()
+        # the C decoder releases the GIL, so a thread pool scales the
+        # dominant JPEG-decode cost across host cores (the role tf.data's
+        # num_parallel_calls plays for the reference); serial by default
+        frames = list(pool.map(decode, raws)) if pool else [decode(r) for r in raws]
         images = np.stack(frames)
         if hp.crop_size:
             images = center_crop_or_pad(images, hp.crop_size)
