@@ -11,6 +11,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# match conftest's virtual device count (XLA_FLAGS is read at backend init,
+# so setting it here still works even though sitecustomize imported jax)
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
 import jax  # noqa: E402
 
 # env vars alone don't work on this box (sitecustomize pre-imports jax)
@@ -22,7 +30,9 @@ import test_golden as tg  # noqa: E402
 
 
 def _r6(xs):
-    return [round(x, 6) for x in xs]
+    # 9 digits: the tests assert rtol=1e-4, so 6-digit rounding would eat
+    # the whole tolerance for losses below ~5e-3 (e.g. a decayed zoo loss)
+    return [round(x, 9) for x in xs]
 
 
 def main():

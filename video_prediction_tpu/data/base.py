@@ -16,6 +16,7 @@ from __future__ import annotations
 import glob
 import os
 import random
+import threading
 from typing import Any, Dict, Iterator, Optional
 
 import numpy as np
@@ -39,6 +40,8 @@ def _pil_decode(raw) -> np.ndarray:
 
 
 _DECODE_POOL = None
+_DECODE_POOL_SIZE = 0
+_DECODE_POOL_LOCK = threading.Lock()
 
 
 def _decode_pool():
@@ -49,15 +52,19 @@ def _decode_pool():
     ``num_parallel_calls`` plays for the reference pipeline. Correctness
     is covered by a pooled-vs-serial parity test; throughput gains are
     unmeasurable on this 1-core build box."""
-    global _DECODE_POOL
+    global _DECODE_POOL, _DECODE_POOL_SIZE
     n = int(os.environ.get("VP_DATA_DECODE_WORKERS", "0"))
     if n <= 1:
         return None
-    if _DECODE_POOL is None or _DECODE_POOL._max_workers != n:
-        from concurrent.futures import ThreadPoolExecutor
+    with _DECODE_POOL_LOCK:  # prefetch threads race here; don't leak pools
+        if _DECODE_POOL is None or _DECODE_POOL_SIZE != n:
+            from concurrent.futures import ThreadPoolExecutor
 
-        _DECODE_POOL = ThreadPoolExecutor(n, thread_name_prefix="vp-decode")
-    return _DECODE_POOL
+            if _DECODE_POOL is not None:
+                _DECODE_POOL.shutdown(wait=False)
+            _DECODE_POOL = ThreadPoolExecutor(n, thread_name_prefix="vp-decode")
+            _DECODE_POOL_SIZE = n
+        return _DECODE_POOL
 
 
 class BaseVideoDataset:
@@ -296,7 +303,13 @@ class VideoDataset(BaseVideoDataset):
             time_indices = range(self.SOURCE_SEQUENCE_LENGTH)
         h, w, c = self.IMAGE_SHAPE
         hp = self.hparams
-        raws = [feats[self.IMAGE_KEY % i][0] for i in time_indices]
+        # strict exactly-one unpack: a record with several byte payloads
+        # under one frame key is malformed and must raise, not silently
+        # train on the first payload
+        raws = []
+        for i in time_indices:
+            (raw,) = feats[self.IMAGE_KEY % i]
+            raws.append(raw)
         if self.IMAGE_ENCODING == "raw":
             decode = lambda raw: np.frombuffer(raw, np.uint8).reshape(h, w, c)
         elif self.IMAGE_ENCODING == "jpeg":

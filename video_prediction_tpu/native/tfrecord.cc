@@ -19,10 +19,11 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <new>
 #include <string>
 #include <vector>
 
-#if defined(__x86_64__) || defined(__i386__)
+#if defined(__x86_64__)  // _mm_crc32_u64 is only declared on 64-bit x86
 #include <immintrin.h>
 #define TFR_X86 1
 #endif
@@ -135,7 +136,16 @@ int tfr_next(TfrReader* r, const uint8_t** data, uint64_t* len) {
     r->error = "record length implausible (corrupt framing?)";
     return -1;
   }
-  r->buf.resize(length + 4);
+  // catch bad_alloc: a corrupt length under the sanity bound (reachable
+  // with verify_crc=0) can demand gigabytes; a C++ exception cannot
+  // unwind through the ctypes/libffi frames (std::terminate), so it must
+  // become an ordinary -1 error here
+  try {
+    r->buf.resize(length + 4);
+  } catch (const std::bad_alloc&) {
+    r->error = "record allocation failed (corrupt length?)";
+    return -1;
+  }
   if (std::fread(r->buf.data(), 1, length + 4, r->f) != length + 4) {
     r->error = "truncated record body";
     return -1;
@@ -186,7 +196,12 @@ int tfr_next_chunk(TfrReader* r, uint64_t max_records, uint64_t max_bytes,
       return -1;
     }
     size_t off = r->chunk.size();
-    r->chunk.resize(off + length);
+    try {  // same bad_alloc-through-ctypes hazard as tfr_next
+      r->chunk.resize(off + length);
+    } catch (const std::bad_alloc&) {
+      r->error = "record allocation failed (corrupt length?)";
+      return -1;
+    }
     uint8_t crc_buf[4];
     if (std::fread(r->chunk.data() + off, 1, length, r->f) != length ||
         std::fread(crc_buf, 1, 4, r->f) != 4) {
