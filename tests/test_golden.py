@@ -51,6 +51,12 @@ _ZOO_EXTRA = {
     "sv2p": dict(nz=4, kl_anneal_steps=(2, 4), num_transformed_images=2),
 }
 
+# generated 2026-08-18 (round 3): savp with learn_prior=True — the in-cell
+# LearnedPrior net (reworked this round for the eval-leak fix) gets its own
+# drift guard; the KL here is posterior-vs-learned-prior, a different code
+# path from the unit-Gaussian flagship above.
+GOLDEN_LEARNED_PRIOR = [0.113101818, 0.105427936, 0.098267116, 0.092706695, 0.085583836]
+
 
 def _setup():
     ds = SyntheticVideoDataset(mode="train", seed=0, image_size=16)
@@ -101,6 +107,15 @@ def _gan_setup():
     return get_model_class("savp")(hp), batch
 
 
+def _prior_setup():
+    model, batch = _setup()
+    # kl_anneal="none": the default linear anneal is exactly 0 below step
+    # 50k, which would make this golden vacuous (identical to the VAE one —
+    # verified); with it off the KL(q || learned p) term is live from step 1
+    hp = model.hparams.replace(learn_prior=True, kl_weight=0.1, kl_anneal="none")
+    return type(model)(hp), batch
+
+
 def _zoo_setup(name):
     ds = SyntheticVideoDataset(mode="train", seed=0, image_size=16)
     raw = next(ds.make_iterator(2))
@@ -131,6 +146,10 @@ class TestGolden:
     def test_zoo_model_loss_trajectories(self, name):
         losses, _ = _trajectory(*_zoo_setup(name))
         np.testing.assert_allclose(losses, GOLDEN_ZOO[name], rtol=1e-4)
+
+    def test_learned_prior_loss_trajectory(self):
+        losses, _ = _trajectory(*_prior_setup())
+        np.testing.assert_allclose(losses, GOLDEN_LEARNED_PRIOR, rtol=1e-4)
 
     def test_init_is_deterministic(self):
         model, batch = _setup()
