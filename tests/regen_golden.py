@@ -43,6 +43,8 @@ def main():
     print(f"GOLDEN_GAN_D = {_r6(d)}")
     g, _ = tg._trajectory(*tg._prior_setup(), n=5)
     print(f"GOLDEN_LEARNED_PRIOR = {_r6(g)}")
+    g, _ = tg._trajectory(*tg._gru_setup(), n=5)
+    print(f"GOLDEN_GRU = {_r6(g)}")
     print("GOLDEN_ZOO = {")
     for name in sorted(tg.GOLDEN_ZOO):
         g, _ = tg._trajectory(*tg._zoo_setup(name))

@@ -57,6 +57,10 @@ _ZOO_EXTRA = {
 # path from the unit-Gaussian flagship above.
 GOLDEN_LEARNED_PRIOR = [0.113101818, 0.105427936, 0.098267116, 0.092706695, 0.085583836]
 
+# generated 2026-08-18 (round 3): savp with conv_rnn="gru" — the ConvGRU
+# cell path (reference rnn_ops.py#Conv2DGRUCell) pinned like the LSTM one.
+GOLDEN_GRU = [0.086281881, 0.078800932, 0.075991817, 0.071156323, 0.063425764]
+
 
 def _setup():
     ds = SyntheticVideoDataset(mode="train", seed=0, image_size=16)
@@ -107,6 +111,11 @@ def _gan_setup():
     return get_model_class("savp")(hp), batch
 
 
+def _gru_setup():
+    model, batch = _setup()
+    return type(model)(model.hparams.replace(conv_rnn="gru")), batch
+
+
 def _prior_setup():
     model, batch = _setup()
     # kl_anneal="none": the default linear anneal is exactly 0 below step
@@ -150,6 +159,10 @@ class TestGolden:
     def test_learned_prior_loss_trajectory(self):
         losses, _ = _trajectory(*_prior_setup())
         np.testing.assert_allclose(losses, GOLDEN_LEARNED_PRIOR, rtol=1e-4)
+
+    def test_gru_loss_trajectory(self):
+        losses, _ = _trajectory(*_gru_setup())
+        np.testing.assert_allclose(losses, GOLDEN_GRU, rtol=1e-4)
 
     def test_init_is_deterministic(self):
         model, batch = _setup()
