@@ -148,6 +148,42 @@ class TestTrainCLI:
         for tag in ("g_loss", "lr", "schedule_sampling_prob", "kl_weight", "gen_images"):
             assert tag in tags, (tag, sorted(tags))
 
+    def test_train_on_native_backend(self, tmp_path, monkeypatch):
+        """The full train CLI runs on the TF-free native data backend
+        (VP_DATA_BACKEND=native) over a real TFRecord fixture — locking in
+        the C++ reader -> loader -> jitted-step path end to end."""
+        from video_prediction_tpu import native
+
+        if not native.available():
+            pytest.skip("no native library")
+        import train as train_cli
+
+        from test_data import write_bair_fixture
+
+        d = tmp_path / "bair" / "train"
+        d.mkdir(parents=True)
+        write_bair_fixture(str(d / "traj.tfrecord"), num_examples=3, seq_len=30, size=64)
+        monkeypatch.setenv("VP_DATA_BACKEND", "native")
+        out = str(tmp_path / "run_native")
+        train_cli.main(
+            [
+                "--input_dir", str(d),
+                "--val_input_dir", str(d),
+                "--dataset", "bair",
+                "--dataset_hparams", "sequence_length=4,context_frames=2",
+                "--model", "savp",
+                "--model_hparams", TINY,
+                "--output_dir", out,
+                "--save_freq", "3",
+                "--progress_freq", "1",
+                "--summary_freq", "0",
+                "--eval_summary_freq", "0",
+                "--image_summary_freq", "0",
+                "--no_tensorboard",
+            ]
+        )
+        assert glob.glob(os.path.join(out, "checkpoints", "*"))
+
     def test_resume(self, run_dir):
         import train as train_cli
 
