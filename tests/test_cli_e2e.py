@@ -356,3 +356,27 @@ class TestCombineResultsCLI:
             [str(tmp_path / "a"), str(tmp_path / "b"), "--output_dir", str(out2), "--keep_first"]
         )
         assert (out2 / "synthetic" / "savp" / "psnr.txt").read_text() == "1.0\n"
+
+
+class TestProfileStepCLI:
+    def test_profile_step_smoke(self, tmp_path, capsys):
+        """scripts/profile_step.py captures a trace of the tiny train step
+        and prints the per-op table (empty device-op sections are fine on
+        the CPU backend — the command must still succeed end to end)."""
+        import profile_step as prof_cli
+
+        prof_cli.main(
+            [
+                "--model", "savp",
+                "--model_hparams",
+                "ngf=4,nef=8,nz=0,l1_weight=1.0,conv_rnn_norm=False,"
+                "num_transformed_images=2,compute_dtype=float32",
+                "--batch_size", "2",
+                "--sequence_length", "4",
+                "--image_size", "16",
+                "--steps", "1",
+                "--outdir", str(tmp_path / "trace"),
+            ]
+        )
+        out = capsys.readouterr().out
+        assert "ms/step" in out and "full trace:" in out
