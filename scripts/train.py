@@ -22,6 +22,7 @@ import sys
 
 # allow `python scripts/<tool>.py` from anywhere: put the repo root on sys.path
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import itertools
 import json
 import time
 
@@ -72,7 +73,7 @@ def main(argv=None):
     from video_prediction_tpu.configs.hparams import apply_overrides, load_hparams_json, parse_overrides
     from video_prediction_tpu.data import DeviceFeeder, get_dataset_class
     from video_prediction_tpu.models import get_model_class
-    from video_prediction_tpu.parallel.distributed import maybe_initialize
+    from video_prediction_tpu.parallel.distributed import maybe_initialize, per_host_batch
     from video_prediction_tpu.parallel.mesh import mesh_for_batch
 
     if maybe_initialize():
@@ -139,9 +140,17 @@ def main(argv=None):
     print(f"devices: {jax.device_count()} ({jax.devices()[0].platform}), mesh data axis: {n_data}")
 
     spc = max(1, args.steps_per_call)
-    train_iter = DeviceFeeder(train_data.make_iterator(hp.batch_size), mesh=mesh, stack=spc)
+    # multi-host: each process feeds per_host_batch examples; the feeder
+    # assembles the global batch across hosts. The first HOST batch doubles
+    # as the init example (param shapes are batch-size-agnostic, and a
+    # multi-host global array cannot be pulled back to one host's numpy).
+    local_bs = per_host_batch(hp.batch_size)
+    host_iter = train_data.make_iterator(local_bs)
+    init_example = next(host_iter)
+    train_iter = DeviceFeeder(
+        itertools.chain([init_example], host_iter), mesh=mesh, stack=spc
+    )
     example = next(train_iter)
-    init_example = example if spc == 1 else jax.tree_util.tree_map(lambda x: x[0], example)
 
     rng = jax.random.PRNGKey(args.seed)
     ts = create_train_state(model, rng, jax.tree_util.tree_map(lambda x: np.asarray(x), init_example))
@@ -269,7 +278,7 @@ def main(argv=None):
                 (args.accum_eval_summary_freq, 64, "accum_eval"),
             ):
                 if crossed(freq):
-                    val_iter = val_data.make_iterator(hp.batch_size)
+                    val_iter = val_data.make_iterator(local_bs)
                     accum = None
                     for i in range(n_eval):
                         vb = DeviceFeederOnce(next(val_iter), mesh)
@@ -287,12 +296,11 @@ def main(argv=None):
 
 
 def DeviceFeederOnce(batch, mesh):
-    import jax
+    # shard_batch assembles the global array from per-host shards on
+    # multi-host and is a plain sharded device_put otherwise
+    from video_prediction_tpu.parallel.mesh import shard_batch
 
-    from video_prediction_tpu.parallel.mesh import batch_sharding
-
-    sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return shard_batch(batch, mesh)
 
 
 if __name__ == "__main__":

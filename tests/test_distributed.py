@@ -117,6 +117,106 @@ _WORKER = textwrap.dedent(
 )
 
 
+_TRAIN_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    sys.path.insert(0, sys.argv[1])
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "float32")
+    from video_prediction_tpu.parallel.distributed import maybe_initialize, per_host_batch
+    assert maybe_initialize() is True
+    import numpy as np
+    import jax.numpy as jnp
+    from video_prediction_tpu.configs.hparams import ModelHparams
+    from video_prediction_tpu.data import DeviceFeeder
+    from video_prediction_tpu.models import get_model_class
+    from video_prediction_tpu.parallel.mesh import make_mesh
+    from video_prediction_tpu.train import create_train_state, make_train_step
+
+    assert jax.process_count() == 2 and jax.device_count() == 4, (
+        jax.process_count(), jax.device_count())
+    mesh = make_mesh()  # 4 global devices, 2 per process
+    hp = ModelHparams(context_frames=2, sequence_length=4, ngf=4, nef=8, nz=0,
+                      l1_weight=1.0, conv_rnn_norm=False, num_transformed_images=2,
+                      batch_size=4)
+    model = get_model_class("savp")(hp)
+    local_bs = per_host_batch(hp.batch_size)  # 2 per process
+    rng = np.random.RandomState(jax.process_index())
+
+    def host_batches():
+        while True:
+            yield {"images": rng.rand(local_bs, 4, 16, 16, 3).astype(np.float32)}
+
+    it = DeviceFeeder(host_batches(), mesh=mesh)
+    batch = next(it)
+    assert batch["images"].shape == (4, 4, 16, 16, 3)  # GLOBAL batch assembled
+    init = {"images": np.zeros((local_bs, 4, 16, 16, 3), np.float32)}
+    ts = create_train_state(model, jax.random.PRNGKey(0), init)
+    step = make_train_step(model, mesh=mesh)
+    ts, scalars = step(ts, batch)
+    g = float(scalars["g_loss"])
+    assert np.isfinite(g)
+    print(f"proc {jax.process_index()} trained: g_loss={g:.4f}")
+    """
+)
+
+
+def _run_two_procs(script_body, tmp_path, port, extra_env=None, timeout=300):
+    script = tmp_path / "worker.py"
+    script.write_text(script_body)
+    procs = []
+    env_base = {k: v for k, v in os.environ.items() if k not in ENV_VARS}
+    env_base.pop("PYTHONPATH", None)  # clobbers the axon site hook
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for pid in range(2):
+        env = dict(
+            env_base,
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            JAX_PLATFORMS="cpu",
+            **(extra_env or {}),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script), repo_root],
+                env=env,
+                cwd=repo_root,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.skip("2-process run timed out on this box")
+        outs.append((p.returncode, out))
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_train_step(tmp_path):
+    """REAL multi-host data-parallel training on CPU: 2 processes x 2
+    virtual devices, each feeding its per_host_batch shard through
+    DeviceFeeder (make_array_from_process_local_data), one SAVP train
+    step over the global (data,model) mesh, finite losses on both."""
+    outs = _run_two_procs(
+        _TRAIN_WORKER,
+        tmp_path,
+        port=12767,
+        extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=2"},
+    )
+    for rc, out in outs:
+        assert rc == 0, out
+        assert "trained: g_loss=" in out
+
+
 @pytest.mark.slow
 def test_two_process_cpu_smoke(tmp_path):
     """Real jax.distributed.initialize across 2 CPU processes, driven by the

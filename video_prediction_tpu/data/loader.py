@@ -51,13 +51,27 @@ class DeviceFeeder:
 
     def _work(self):
         try:
+            multi_host = jax.process_count() > 1
             for batch in self._it:
                 if self._stop.is_set():
                     return
                 if self._sharding is not None:
-                    batch = jax.tree_util.tree_map(
-                        lambda x: jax.device_put(x, self._sharding), batch
-                    )
+                    if multi_host:
+                        # each process feeds only its LOCAL shard (the host
+                        # iterator yields per_host_batch examples); this
+                        # assembles the global array across hosts —
+                        # device_put with a global sharding would reject
+                        # non-addressable devices
+                        batch = jax.tree_util.tree_map(
+                            lambda x: jax.make_array_from_process_local_data(
+                                self._sharding, x
+                            ),
+                            batch,
+                        )
+                    else:
+                        batch = jax.tree_util.tree_map(
+                            lambda x: jax.device_put(x, self._sharding), batch
+                        )
                 else:
                     batch = jax.tree_util.tree_map(jax.device_put, batch)
                 self._q.put(batch)

@@ -55,6 +55,14 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Device-put a host batch with the leading dim sharded over ``data``."""
+    """Shard a host batch with the leading dim over ``data``.
+
+    Multi-host: ``batch`` is this process's LOCAL shard (``per_host_batch``
+    examples) and the global array is assembled across hosts; single-host:
+    a plain sharded device_put."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, x), batch
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
