@@ -157,12 +157,23 @@ _TRAIN_WORKER = textwrap.dedent(
     ts, scalars = step(ts, batch)
     g = float(scalars["g_loss"])
     assert np.isfinite(g)
-    print(f"proc {jax.process_index()} trained: g_loss={g:.4f}")
+
+    # multi-host checkpoint: orbax coordinates via the jax distributed
+    # client; every process calls save/restore (shared local FS here)
+    from video_prediction_tpu.train.checkpoint import CheckpointManager
+    ckdir = sys.argv[2]
+    mgr = CheckpointManager(ckdir)
+    assert mgr.save(ts, force=True)
+    mgr.wait()
+    ts2 = create_train_state(model, jax.random.PRNGKey(1), init)
+    ts2 = mgr.restore(ts2)
+    assert int(ts2.step) == int(ts.step) == 1, (int(ts2.step), int(ts.step))
+    print(f"proc {jax.process_index()} trained: g_loss={g:.4f} ckpt_step={int(ts2.step)}")
     """
 )
 
 
-def _run_two_procs(script_body, tmp_path, port, extra_env=None, timeout=300):
+def _run_two_procs(script_body, tmp_path, port, extra_env=None, timeout=300, extra_args=()):
     script = tmp_path / "worker.py"
     script.write_text(script_body)
     procs = []
@@ -180,7 +191,7 @@ def _run_two_procs(script_body, tmp_path, port, extra_env=None, timeout=300):
         )
         procs.append(
             subprocess.Popen(
-                [sys.executable, str(script), repo_root],
+                [sys.executable, str(script), repo_root, *extra_args],
                 env=env,
                 cwd=repo_root,
                 stdout=subprocess.PIPE,
@@ -206,15 +217,17 @@ def test_two_process_train_step(tmp_path):
     virtual devices, each feeding its per_host_batch shard through
     DeviceFeeder (make_array_from_process_local_data), one SAVP train
     step over the global (data,model) mesh, finite losses on both."""
+    ckdir = tmp_path / "ckpts"
     outs = _run_two_procs(
         _TRAIN_WORKER,
         tmp_path,
         port=12767,
         extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=2"},
+        extra_args=(str(ckdir),),
     )
     for rc, out in outs:
         assert rc == 0, out
-        assert "trained: g_loss=" in out
+        assert "trained: g_loss=" in out and "ckpt_step=1" in out
 
 
 @pytest.mark.slow
