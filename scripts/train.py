@@ -126,13 +126,15 @@ def main(argv=None):
     train_data = dataset_cls(args.input_dir, mode="train", hparams=dhp, seed=args.seed)
     val_data = dataset_cls(args.val_input_dir or args.input_dir, mode="val", hparams=dhp, seed=args.seed)
 
-    # persist resolved options for evaluate.py (reference writes options.json etc.)
-    with open(os.path.join(args.output_dir, "options.json"), "w") as f:
-        json.dump({"model": args.model, "dataset": args.dataset, "seed": args.seed}, f, indent=2)
-    with open(os.path.join(args.output_dir, "model_hparams.json"), "w") as f:
-        json.dump(hp.to_dict(), f, indent=2)
-    with open(os.path.join(args.output_dir, "dataset_hparams.json"), "w") as f:
-        json.dump(dhp.to_dict(), f, indent=2)
+    # persist resolved options for evaluate.py (reference writes options.json
+    # etc.); process 0 only — on multi-host all processes share output_dir
+    if jax.process_index() == 0:
+        with open(os.path.join(args.output_dir, "options.json"), "w") as f:
+            json.dump({"model": args.model, "dataset": args.dataset, "seed": args.seed}, f, indent=2)
+        with open(os.path.join(args.output_dir, "model_hparams.json"), "w") as f:
+            json.dump(hp.to_dict(), f, indent=2)
+        with open(os.path.join(args.output_dir, "dataset_hparams.json"), "w") as f:
+            json.dump(dhp.to_dict(), f, indent=2)
 
     # ---- mesh + state ----
     mesh = mesh_for_batch(hp.batch_size)
@@ -171,8 +173,12 @@ def main(argv=None):
     eval_step = make_eval_step(model, mesh=mesh)
 
     # ---- summaries ----
+    # multi-host: only process 0 writes TB files into the shared
+    # output_dir (every process still RUNS the jitted eval/train calls —
+    # they are SPMD collectives — and every process calls ckpt.save,
+    # which orbax coordinates)
     writer = None
-    if not args.no_tensorboard:
+    if not args.no_tensorboard and jax.process_index() == 0:
         try:
             import tensorflow as tf
 
