@@ -43,7 +43,18 @@ def device_init_or_die(
         )
         if json_stdout:
             print(
-                json.dumps({"metric": metric, "value": None, "error": msg}),
+                json.dumps(
+                    {
+                        "metric": metric,
+                        "value": None,
+                        "error": msg,
+                        "note": (
+                            "hardware unreachable, not a regression; last "
+                            "measured numbers: ARCHITECTURE.md perf table "
+                            "(646 frames/s/chip @ batch 16, 897 @ 64)"
+                        ),
+                    }
+                ),
                 flush=True,
             )
         print(msg, file=sys.stderr, flush=True)
