@@ -343,3 +343,78 @@ class VideoDataset(BaseVideoDataset):
                 [feats[self.STATE_KEY % i] for i in time_indices]
             ).astype(np.float32)
         return out
+
+    # ---- native gather fast path -------------------------------------- #
+    def gather_plan(self):
+        """Ordered key request for ``native.iter_gathered`` (cached):
+        ``(keys, has_actions, has_states)`` — images keys first (one per
+        stored frame), then per-frame actions, then states."""
+        if getattr(self, "_gather_plan_cache", None) is None:
+            T = self.SOURCE_SEQUENCE_LENGTH
+            hp = self.hparams
+            keys = [self.IMAGE_KEY % i for i in range(T)]
+            has_a = bool(self.ACTION_KEY and hp.use_state)
+            has_s = bool(self.STATE_KEY and hp.use_state)
+            if has_a:
+                keys += [self.ACTION_KEY % i for i in range(T)]
+            if has_s:
+                keys += [self.STATE_KEY % i for i in range(T)]
+            self._gather_plan_cache = (keys, has_a, has_s)
+        return self._gather_plan_cache
+
+    def parse_gathered_np(self, g, time_indices=None) -> Dict[str, np.ndarray]:
+        """Consume one ``native.GatheredExample`` for :meth:`gather_plan`'s
+        request — the data-plane hot path: no per-feature dict, key
+        matching already done in C++. Same contract and preprocessing as
+        :meth:`parse_example_np`."""
+        from video_prediction_tpu.data.native_loader import (
+            bilinear_resize_uint8,
+            center_crop_or_pad,
+        )
+
+        T = self.SOURCE_SEQUENCE_LENGTH
+        if time_indices is None:
+            time_indices = range(T)
+        _, has_a, has_s = self.gather_plan()
+        hp = self.hparams
+        nvals = g.nvals
+        types = g.types
+        if not (types[:T] == 0).all() or not (nvals[:T] == 1).all():
+            raise ValueError(
+                "malformed record: every stored frame key must hold exactly "
+                "one bytes payload"
+            )
+        # request order puts image payloads first, one per frame
+        h, w, c = self.IMAGE_SHAPE
+        if self.IMAGE_ENCODING == "raw":
+            decode = lambda raw: np.frombuffer(raw, np.uint8).reshape(h, w, c)
+        elif self.IMAGE_ENCODING == "jpeg":
+            from video_prediction_tpu import native
+
+            decode = native.decode_jpeg if native.codec_available() else _pil_decode
+        elif self.IMAGE_ENCODING == "png":
+            decode = _pil_decode
+        else:
+            raise ValueError(self.IMAGE_ENCODING)
+        raws = [g.byte_values[i] for i in time_indices]
+        pool = _decode_pool()
+        frames = list(pool.map(decode, raws)) if pool else [decode(r) for r in raws]
+        images = np.stack(frames)
+        if hp.crop_size:
+            images = center_crop_or_pad(images, hp.crop_size)
+        if hp.scale_size and images.shape[1:3] != (hp.scale_size, hp.scale_size):
+            images = bilinear_resize_uint8(images, hp.scale_size, hp.scale_size)
+        out = {"images": images}
+        idx = list(time_indices)
+        fpos = 0
+        if has_a:
+            na = int(nvals[T : 2 * T].sum())
+            out["actions"] = g.floats[:na].reshape(T, -1)[idx].astype(np.float32)
+            fpos = na
+        if has_s:
+            s0 = 2 * T if has_a else T
+            ns = int(nvals[s0 : s0 + T].sum())
+            out["states"] = (
+                g.floats[fpos : fpos + ns].reshape(T, -1)[idx].astype(np.float32)
+            )
+        return out

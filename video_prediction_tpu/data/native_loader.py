@@ -89,17 +89,28 @@ class NativeVideoPipeline:
             raise FileNotFoundError(f"no tfrecords under {dataset.input_dir!r}")
 
     # ------------------------------------------------------------------ #
-    def _feature_dicts(self) -> Iterator[Dict[str, Any]]:
-        """Infinite (repeated) stream of parsed feature dicts, via the
-        batched zero-copy C boundary (``native.iter_examples``)."""
+    def _raw_examples(self) -> Iterator[Any]:
+        """Infinite (repeated) stream of native-parsed examples via the
+        batched zero-copy C boundary: ``GatheredExample``s when the
+        dataset uses the stock schema parser (keys matched in C++ against
+        the fixed request — no per-example Python dict), parsed feature
+        dicts otherwise."""
         from video_prediction_tpu import native
+        from video_prediction_tpu.data.base import VideoDataset
 
+        use_gather = (
+            type(self.ds).parse_example_np is VideoDataset.parse_example_np
+        )
+        keys = self.ds.gather_plan()[0] if use_gather else None
         files = list(self.ds.filenames)
         while True:
             if self.shuffle:
                 self.rng.shuffle(files)
             for f in files:
-                yield from native.iter_examples(f)
+                if use_gather:
+                    yield from native.iter_gathered(f, keys)
+                else:
+                    yield from native.iter_examples(f)
 
     def _examples(self) -> Iterator[Dict[str, np.ndarray]]:
         """Parsed + sliced examples, with a shuffle buffer in train mode."""
@@ -116,19 +127,23 @@ class NativeVideoPipeline:
             )
         max_off = source_len - span
 
+        from video_prediction_tpu import native
+
         buf: List[Dict[str, np.ndarray]] = []
-        for feats in self._feature_dicts():
+        for raw in self._raw_examples():
             # random temporal window chosen BEFORE parsing, so only the
-            # sliced frames are decoded/copied (parse_example_np
-            # time_indices — 2.5x fewer JPEG decodes at seq 12 of 30)
+            # sliced frames are decoded/copied (time_indices — 2.5x fewer
+            # JPEG decodes at seq 12 of 30)
             off = (
                 self.rng.randint(0, max_off + 1)
                 if (self.ds.mode == "train" and max_off > 0)
                 else 0
             )
-            ex = self.ds.parse_example_np(
-                feats, time_indices=range(off, off + span, stride)
-            )
+            idx = range(off, off + span, stride)
+            if isinstance(raw, native.GatheredExample):
+                ex = self.ds.parse_gathered_np(raw, time_indices=idx)
+            else:
+                ex = self.ds.parse_example_np(raw, time_indices=idx)
             if not self.shuffle:
                 yield ex
                 continue

@@ -110,6 +110,26 @@ def _load():
             ctypes.c_void_p,  # floats    float32[floats_total]
             ctypes.c_void_p,  # int64s    int64[int64s_total]
         ]
+        lib.tfrex_gather_sizes.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,  # keys blob (concatenated, no separators)
+            ctypes.c_void_p,  # key_lens uint64[nkeys]
+            ctypes.c_uint64,  # nkeys
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.tfrex_gather_sizes.restype = ctypes.c_int
+        lib.tfrex_gather_fill.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,  # base
+            ctypes.c_void_p,  # types     int32[nkeys]
+            ctypes.c_void_p,  # nvals     uint64[nkeys]
+            ctypes.c_void_p,  # byte_offs
+            ctypes.c_void_p,  # byte_lens
+            ctypes.c_void_p,  # floats
+            ctypes.c_void_p,  # int64s
+        ]
         lib.tfrex_error.argtypes = [ctypes.c_void_p]
         lib.tfrex_error.restype = ctypes.c_char_p
         lib.tfrex_count.argtypes = [ctypes.c_void_p]
@@ -166,6 +186,133 @@ def read_records(path: str, verify_crc: bool = True) -> Iterator[bytes]:
         lib.tfr_close(h)
 
 
+def _iter_chunks(
+    path: str, verify_crc: bool, max_records: int, max_bytes: int, copy: bool = True
+):
+    """Yield ``(chunk uint8 ndarray, record_lengths list)`` per reader chunk
+    — ONE ctypes round-trip per ~``max_bytes`` of records.
+
+    ``copy=False`` skips the copy out of the reader's internal buffer: the
+    yielded array is a VIEW valid only until the next iteration (or the
+    generator closing). Use it only when every view derived from the chunk
+    is consumed before advancing — the in-repo loader's discipline."""
+    lib = _load()
+    h = lib.tfr_open(path.encode(), 1 if verify_crc else 0)
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        data = ctypes.POINTER(ctypes.c_uint8)()
+        lens_p = ctypes.POINTER(ctypes.c_uint64)()
+        count = ctypes.c_uint64()
+        while True:
+            rc = lib.tfr_next_chunk(
+                h,
+                max_records,
+                max_bytes,
+                ctypes.byref(data),
+                ctypes.byref(lens_p),
+                ctypes.byref(count),
+            )
+            if rc < 0:
+                raise IOError(f"{path}: {lib.tfr_error(h).decode()}")
+            n_rec = count.value
+            if n_rec == 0:
+                return
+            rec_lens = np.ctypeslib.as_array(lens_p, shape=(n_rec,))
+            total = int(rec_lens.sum())
+            chunk = np.ctypeslib.as_array(data, shape=(total,))
+            yield (chunk.copy() if copy else chunk), rec_lens.tolist()
+    finally:
+        lib.tfr_close(h)
+
+
+class GatheredExample:
+    """One example's features for a FIXED ordered key request (the
+    schema-aware fast path): per-request ``types``/``nvals`` arrays, bytes
+    payloads as zero-copy memoryviews (in request order), and floats/int64
+    values packed in request order. Missing keys: type -1, nvals 0."""
+
+    __slots__ = ("types", "nvals", "byte_values", "floats", "int64s")
+
+    def __init__(self, types, nvals, byte_values, floats, int64s):
+        self.types = types
+        self.nvals = nvals
+        self.byte_values = byte_values
+        self.floats = floats
+        self.int64s = int64s
+
+
+def iter_gathered(
+    path: str,
+    keys,
+    verify_crc: bool = True,
+    max_records: int = 256,
+    max_bytes: int = 8 << 20,
+) -> Iterator[GatheredExample]:
+    """Iterate :class:`GatheredExample` for a fixed ordered ``keys`` list.
+
+    The per-example Python work drops to a handful of numpy allocations —
+    key matching happens in C++ against the parse table (the role
+    ``tf.io.parse_single_example``'s fixed-feature spec plays for the
+    reference pipeline).
+
+    LIFETIME: byte memoryviews point into the reader's INTERNAL chunk
+    buffer (no copy at all on this path) and are valid only until the
+    iterator advances past the example's chunk — consume (decode/copy)
+    each example before requesting the next, as the loader does.
+    ``iter_examples`` keeps the safer copied-chunk contract."""
+    lib = _load()
+    encoded = [k.encode() for k in keys]
+    keys_blob = b"".join(encoded)
+    key_lens = np.asarray([len(k) for k in encoded], np.uint64)
+    nkeys = len(encoded)
+    sizes = [ctypes.c_uint64() for _ in range(3)]
+    for chunk, rec_lens in _iter_chunks(
+        path, verify_crc, max_records, max_bytes, copy=False
+    ):
+        chunk_mv = memoryview(chunk)
+        base = chunk.ctypes.data
+        off = 0
+        for rec_len in rec_lens:
+            eh = lib.tfrex_parse_view(base + off, rec_len)
+            try:
+                err = lib.tfrex_error(eh)
+                if err:
+                    raise ValueError(f"bad Example proto: {err.decode()}")
+                lib.tfrex_gather_sizes(
+                    eh,
+                    keys_blob,
+                    key_lens.ctypes.data,
+                    nkeys,
+                    *(ctypes.byref(s) for s in sizes),
+                )
+                n_byte, n_float, n_int = (s.value for s in sizes)
+                types = np.empty(nkeys, np.int32)
+                nvals = np.empty(nkeys, np.uint64)
+                boffs = np.empty(n_byte, np.uint64)
+                blens = np.empty(n_byte, np.uint64)
+                floats = np.empty(n_float, np.float32)
+                int64s = np.empty(n_int, np.int64)
+                lib.tfrex_gather_fill(
+                    eh,
+                    base,
+                    types.ctypes.data,
+                    nvals.ctypes.data,
+                    boffs.ctypes.data,
+                    blens.ctypes.data,
+                    floats.ctypes.data,
+                    int64s.ctypes.data,
+                )
+            finally:
+                lib.tfrex_free(eh)
+            byte_values = [
+                chunk_mv[o:e]
+                for o, e in zip(boffs.tolist(), (boffs + blens).tolist())
+            ]
+            yield GatheredExample(types, nvals, byte_values, floats, int64s)
+            off += rec_len
+
+
 def iter_examples(
     path: str,
     verify_crc: bool = True,
@@ -184,104 +331,77 @@ def iter_examples(
     records; semantics match those exactly (parity-tested).
     """
     lib = _load()
-    h = lib.tfr_open(path.encode(), 1 if verify_crc else 0)
-    if not h:
-        raise FileNotFoundError(path)
-    try:
-        data = ctypes.POINTER(ctypes.c_uint8)()
-        lens_p = ctypes.POINTER(ctypes.c_uint64)()
-        count = ctypes.c_uint64()
-        sizes = [ctypes.c_uint64() for _ in range(4)]
-        while True:
-            rc = lib.tfr_next_chunk(
-                h,
-                max_records,
-                max_bytes,
-                ctypes.byref(data),
-                ctypes.byref(lens_p),
-                ctypes.byref(count),
-            )
-            if rc < 0:
-                raise IOError(f"{path}: {lib.tfr_error(h).decode()}")
-            n_rec = count.value
-            if n_rec == 0:
-                return
-            rec_lens = np.ctypeslib.as_array(lens_p, shape=(n_rec,))
-            total = int(rec_lens.sum())
-            # the ONE copy out of the reader's internal buffer; every bytes
-            # value below is a view into this array
-            chunk = np.ctypeslib.as_array(data, shape=(total,)).copy()
-            chunk_mv = memoryview(chunk)  # cheaper slicing than ndarray
-            base = chunk.ctypes.data
-            off = 0
-            for rec_len in rec_lens.tolist():
-                eh = lib.tfrex_parse_view(base + off, rec_len)
-                try:
-                    err = lib.tfrex_error(eh)
-                    if err:
-                        raise ValueError(f"bad Example proto: {err.decode()}")
-                    nfeat = lib.tfrex_count(eh)
-                    lib.tfrex_pack_sizes(eh, *(ctypes.byref(s) for s in sizes))
-                    keys_len, n_byte, n_float, n_int = (s.value for s in sizes)
-                    keys_buf = ctypes.create_string_buffer(max(keys_len, 1))
-                    key_lens = np.empty(nfeat, np.uint64)
-                    types = np.empty(nfeat, np.int32)
-                    nvals = np.empty(nfeat, np.uint64)
-                    boffs = np.empty(n_byte, np.uint64)
-                    blens = np.empty(n_byte, np.uint64)
-                    floats = np.empty(n_float, np.float32)
-                    int64s = np.empty(n_int, np.int64)
-                    lib.tfrex_pack(
-                        eh,
-                        base,
-                        keys_buf,
-                        key_lens.ctypes.data,
-                        types.ctypes.data,
-                        nvals.ctypes.data,
-                        boffs.ctypes.data,
-                        blens.ctypes.data,
-                        floats.ctypes.data,
-                        int64s.ctypes.data,
-                    )
-                finally:
-                    lib.tfrex_free(eh)
-                out: Dict[str, FeatureValue] = {}
-                kp = bi = fi = ii = 0
-                raw_keys = keys_buf.raw[: int(keys_len)]
-                all_keys = raw_keys.decode()
-                if len(all_keys) != keys_len:
-                    # non-ASCII key bytes: char offsets != byte offsets, so
-                    # slice the raw bytes per key instead (rare path)
-                    all_keys = None
-                boffs_l = boffs.tolist()
-                blens_l = blens.tolist()
-                for kl, typ, nv in zip(
-                    key_lens.tolist(), types.tolist(), nvals.tolist()
-                ):
-                    key = (
-                        all_keys[kp : kp + kl]
-                        if all_keys is not None
-                        else raw_keys[kp : kp + kl].decode()
-                    )
-                    kp += kl
-                    if typ == 0:
-                        out[key] = [
-                            chunk_mv[boffs_l[bi + j] : boffs_l[bi + j] + blens_l[bi + j]]
-                            for j in range(nv)
-                        ]
-                        bi += nv
-                    elif typ == 1:
-                        out[key] = floats[fi : fi + nv]
-                        fi += nv
-                    elif typ == 2:
-                        out[key] = int64s[ii : ii + nv]
-                        ii += nv
-                    # typ == -1 (empty Feature oneof): key omitted, matching
-                    # parse_example
-                yield out
-                off += rec_len
-    finally:
-        lib.tfr_close(h)
+    sizes = [ctypes.c_uint64() for _ in range(4)]
+    for chunk, rec_lens in _iter_chunks(path, verify_crc, max_records, max_bytes):
+        chunk_mv = memoryview(chunk)  # cheaper slicing than ndarray
+        base = chunk.ctypes.data
+        off = 0
+        for rec_len in rec_lens:
+            eh = lib.tfrex_parse_view(base + off, rec_len)
+            try:
+                err = lib.tfrex_error(eh)
+                if err:
+                    raise ValueError(f"bad Example proto: {err.decode()}")
+                nfeat = lib.tfrex_count(eh)
+                lib.tfrex_pack_sizes(eh, *(ctypes.byref(s) for s in sizes))
+                keys_len, n_byte, n_float, n_int = (s.value for s in sizes)
+                keys_buf = ctypes.create_string_buffer(max(keys_len, 1))
+                key_lens = np.empty(nfeat, np.uint64)
+                types = np.empty(nfeat, np.int32)
+                nvals = np.empty(nfeat, np.uint64)
+                boffs = np.empty(n_byte, np.uint64)
+                blens = np.empty(n_byte, np.uint64)
+                floats = np.empty(n_float, np.float32)
+                int64s = np.empty(n_int, np.int64)
+                lib.tfrex_pack(
+                    eh,
+                    base,
+                    keys_buf,
+                    key_lens.ctypes.data,
+                    types.ctypes.data,
+                    nvals.ctypes.data,
+                    boffs.ctypes.data,
+                    blens.ctypes.data,
+                    floats.ctypes.data,
+                    int64s.ctypes.data,
+                )
+            finally:
+                lib.tfrex_free(eh)
+            out: Dict[str, FeatureValue] = {}
+            kp = bi = fi = ii = 0
+            raw_keys = keys_buf.raw[: int(keys_len)]
+            all_keys = raw_keys.decode()
+            if len(all_keys) != keys_len:
+                # non-ASCII key bytes: char offsets != byte offsets, so
+                # slice the raw bytes per key instead (rare path)
+                all_keys = None
+            boffs_l = boffs.tolist()
+            blens_l = blens.tolist()
+            for kl, typ, nv in zip(
+                key_lens.tolist(), types.tolist(), nvals.tolist()
+            ):
+                key = (
+                    all_keys[kp : kp + kl]
+                    if all_keys is not None
+                    else raw_keys[kp : kp + kl].decode()
+                )
+                kp += kl
+                if typ == 0:
+                    out[key] = [
+                        chunk_mv[boffs_l[bi + j] : boffs_l[bi + j] + blens_l[bi + j]]
+                        for j in range(nv)
+                    ]
+                    bi += nv
+                elif typ == 1:
+                    out[key] = floats[fi : fi + nv]
+                    fi += nv
+                elif typ == 2:
+                    out[key] = int64s[ii : ii + nv]
+                    ii += nv
+                # typ == -1 (empty Feature oneof): key omitted, matching
+                # parse_example
+            yield out
+            off += rec_len
 
 
 def _load_codec():

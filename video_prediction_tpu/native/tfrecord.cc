@@ -21,6 +21,8 @@
 #include <cstring>
 #include <new>
 #include <string>
+#include <string_view>
+#include <unordered_map>
 #include <vector>
 
 #if defined(__x86_64__)  // _mm_crc32_u64 is only declared on 64-bit x86
@@ -315,6 +317,7 @@ struct ExampleParser {
   std::vector<uint8_t> owned;  // copy of the record so Slices stay valid
   std::vector<FeatureEntry> entries;
   std::string error;
+  std::vector<int64_t> plan;  // gather: entry index per requested key (-1 missing)
 };
 
 static void parse_bytes_list(Cursor c, FeatureEntry* e) {
@@ -479,6 +482,82 @@ void tfrex_pack(ExampleParser* ep, const uint8_t* base, char* keys,
     std::memcpy(kp, e.key.data(), e.key.size());
     kp += e.key.size();
     key_lens[idx] = e.key.size();
+    types[idx] = e.type;
+    switch (e.type) {
+      case 0: nvals[idx] = e.bytes_vals.size(); break;
+      case 1: nvals[idx] = e.float_vals.size(); break;
+      case 2: nvals[idx] = e.int64_vals.size(); break;
+      default: nvals[idx] = 0; break;
+    }
+    for (const auto& s : e.bytes_vals) {
+      byte_offs[bi] = (uint64_t)(s.p - base);
+      byte_lens[bi] = s.n;
+      ++bi;
+    }
+    if (!e.float_vals.empty()) {
+      std::memcpy(floats + fi, e.float_vals.data(),
+                  e.float_vals.size() * sizeof(float));
+      fi += e.float_vals.size();
+    }
+    if (!e.int64_vals.empty()) {
+      std::memcpy(int64s + ii, e.int64_vals.data(),
+                  e.int64_vals.size() * sizeof(int64_t));
+      ii += e.int64_vals.size();
+    }
+    ++idx;
+  }
+}
+
+// Schema-aware gather: match a caller-provided ORDERED key list against the
+// parsed entries in C++ (one hash build + K lookups instead of building a
+// K-entry Python dict per example — the data-plane hot path). Two-call
+// protocol like pack: _sizes stores the match plan in the handle and
+// returns payload totals; _fill writes per-request type/nvals and packed
+// values in REQUEST order. Missing keys get type=-1, nvals=0.
+int tfrex_gather_sizes(ExampleParser* ep, const char* keys,
+                       const uint64_t* key_lens, uint64_t nkeys,
+                       uint64_t* n_byte_items, uint64_t* floats_total,
+                       uint64_t* int64s_total) {
+  std::unordered_map<std::string_view, int64_t> index;
+  index.reserve(ep->entries.size() * 2);
+  for (size_t i = 0; i < ep->entries.size(); ++i)
+    index.emplace(std::string_view(ep->entries[i].key), (int64_t)i);
+  ep->plan.clear();
+  ep->plan.reserve(nkeys);
+  uint64_t nb = 0, nf = 0, ni = 0;
+  const char* kp = keys;
+  for (uint64_t k = 0; k < nkeys; ++k) {
+    std::string_view key(kp, key_lens[k]);
+    kp += key_lens[k];
+    auto it = index.find(key);
+    if (it == index.end()) {
+      ep->plan.push_back(-1);
+      continue;
+    }
+    ep->plan.push_back(it->second);
+    const FeatureEntry& e = ep->entries[it->second];
+    nb += e.bytes_vals.size();
+    nf += e.float_vals.size();
+    ni += e.int64_vals.size();
+  }
+  *n_byte_items = nb;
+  *floats_total = nf;
+  *int64s_total = ni;
+  return 0;
+}
+
+void tfrex_gather_fill(ExampleParser* ep, const uint8_t* base, int32_t* types,
+                       uint64_t* nvals, uint64_t* byte_offs,
+                       uint64_t* byte_lens, float* floats, int64_t* int64s) {
+  uint64_t bi = 0, fi = 0, ii = 0, idx = 0;
+  for (int64_t ei : ep->plan) {
+    if (ei < 0) {
+      types[idx] = -1;
+      nvals[idx] = 0;
+      ++idx;
+      continue;
+    }
+    const FeatureEntry& e = ep->entries[ei];
     types[idx] = e.type;
     switch (e.type) {
       case 0: nvals[idx] = e.bytes_vals.size(); break;
