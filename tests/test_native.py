@@ -129,10 +129,15 @@ class TestReaderParser:
                 at = rng.randint(max(1, len(buf) - 12))
                 buf[at : at + 8] = (2**63 - rng.randint(1, 1000)).to_bytes(8, "little")
             p.write_bytes(bytes(buf))
+            gather_keys = ["0/image_aux1/encoded", "0/action", "nope"]
             for verify_crc in (True, False):
-                # the batched zero-copy path must be equally crash-proof
+                # the batched zero-copy paths must be equally crash-proof
                 try:
                     list(native.iter_examples(str(p), verify_crc=verify_crc))
+                except (IOError, ValueError):
+                    pass
+                try:
+                    list(native.iter_gathered(str(p), gather_keys, verify_crc=verify_crc))
                 except (IOError, ValueError):
                     pass
                 try:
