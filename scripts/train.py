@@ -123,8 +123,14 @@ def main(argv=None):
     model = model_cls(hp, mode="train")
 
     # ---- datasets ----
-    train_data = dataset_cls(args.input_dir, mode="train", hparams=dhp, seed=args.seed)
-    val_data = dataset_cls(args.val_input_dir or args.input_dir, mode="val", hparams=dhp, seed=args.seed)
+    # fold the process index into the DATA seed (only): with a shared
+    # --seed every host would otherwise yield the identical shuffle order
+    # and temporal offsets, assembling a global batch of N_hosts duplicate
+    # shards. Param-init rng stays args.seed on every process (required —
+    # replicated params must initialize identically).
+    data_seed = args.seed + jax.process_index()
+    train_data = dataset_cls(args.input_dir, mode="train", hparams=dhp, seed=data_seed)
+    val_data = dataset_cls(args.val_input_dir or args.input_dir, mode="val", hparams=dhp, seed=data_seed)
 
     # persist resolved options for evaluate.py (reference writes options.json
     # etc.); process 0 only — on multi-host all processes share output_dir
@@ -270,11 +276,14 @@ def main(argv=None):
                 write_scalars(step, vals)
             if crossed(gif_freq):
                 eb = batch if spc == 1 else jax.tree_util.tree_map(lambda x: x[-1], batch)
+                # every process runs the jitted call (SPMD); each then
+                # fetches only its ADDRESSABLE shards — device_get on a
+                # data-sharded global array raises on multi-host
                 gen, _ = eval_step(ts.params, eb, jax.random.fold_in(ts.rng, step))
-                gen = np.asarray(jax.device_get(gen))
+                gen = _local_np(gen)
                 # GT | prediction side-by-side grid (reference
                 # tf_utils.add_gif_summaries shows both)
-                gt = np.asarray(jax.device_get(eb["images"]))
+                gt = _local_np(eb["images"])
                 if gt.dtype == np.uint8:
                     gt = gt.astype(np.float32) / 255.0
                 side = np.concatenate([gt[:, 1:], gen], axis=3)  # [B,T-1,H,2W,C]
@@ -299,6 +308,19 @@ def main(argv=None):
         ckpt.wait()
         train_iter.close()
     print(f"done at step {int(ts.step)}; checkpoints in {os.path.join(args.output_dir, 'checkpoints')}")
+
+
+def _local_np(x):
+    """This process's addressable rows of a (possibly data-sharded,
+    possibly multi-host) array, as numpy — safe where ``device_get`` of a
+    global array is not. Shards are ordered by batch offset."""
+    import jax
+    import numpy as np
+
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(jax.device_get(x))
+    shards = sorted(x.addressable_shards, key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
 def DeviceFeederOnce(batch, mesh):

@@ -173,7 +173,18 @@ _TRAIN_WORKER = textwrap.dedent(
 )
 
 
-def _run_two_procs(script_body, tmp_path, port, extra_env=None, timeout=300, extra_args=()):
+def _run_two_procs(
+    script_body,
+    tmp_path,
+    port,
+    extra_env=None,
+    timeout=300,
+    extra_args=(),
+    fail_on_timeout=False,
+):
+    """``fail_on_timeout``: a deadlock IS the bug signal for collective
+    coverage (feed assembly / orbax sync) — don't convert it to a skip.
+    Handshake smoke tests keep skip semantics (slow-box tolerance)."""
     script = tmp_path / "worker.py"
     script.write_text(script_body)
     procs = []
@@ -206,6 +217,8 @@ def _run_two_procs(script_body, tmp_path, port, extra_env=None, timeout=300, ext
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
+            if fail_on_timeout:
+                pytest.fail(f"2-process run deadlocked (> {timeout}s)")
             pytest.skip("2-process run timed out on this box")
         outs.append((p.returncode, out))
     return outs
@@ -217,14 +230,25 @@ def test_two_process_train_step(tmp_path):
     virtual devices, each feeding its per_host_batch shard through
     DeviceFeeder (make_array_from_process_local_data), one SAVP train
     step over the global (data,model) mesh, finite losses on both."""
-    ckdir = tmp_path / "ckpts"
-    outs = _run_two_procs(
-        _TRAIN_WORKER,
-        tmp_path,
-        port=12767,
-        extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=2"},
-        extra_args=(str(ckdir),),
-    )
+    for attempt, port in enumerate((12767, 12787)):
+        ckdir = tmp_path / f"ckpts{attempt}"
+        outs = _run_two_procs(
+            _TRAIN_WORKER,
+            tmp_path,
+            port=port,
+            extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=2"},
+            extra_args=(str(ckdir),),
+            fail_on_timeout=True,
+        )
+        if attempt == 0 and any(
+            rc != 0 and "DEADLINE_EXCEEDED" in out for rc, out in outs
+        ):
+            # Gloo's fixed 30s rendezvous deadline can expire while both
+            # workers fight for this box's ONE core during first compile —
+            # an environment flake (passes standalone), not a feed bug;
+            # retry once on a fresh port
+            continue
+        break
     for rc, out in outs:
         assert rc == 0, out
         assert "trained: g_loss=" in out and "ckpt_step=1" in out
@@ -235,40 +259,7 @@ def test_two_process_cpu_smoke(tmp_path):
     """Real jax.distributed.initialize across 2 CPU processes, driven by the
     same env vars train.py users would set. Skips rather than fails if the
     box can't complete the handshake in time."""
-    script = tmp_path / "worker.py"
-    script.write_text(_WORKER)
-    port = 12765
-    procs = []
-    env_base = {k: v for k, v in os.environ.items() if k not in ENV_VARS}
-    env_base.pop("PYTHONPATH", None)  # clobbers the axon site hook
-    for pid in range(2):
-        env = dict(
-            env_base,
-            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
-            JAX_NUM_PROCESSES="2",
-            JAX_PROCESS_ID=str(pid),
-            JAX_PLATFORMS="cpu",
-        )
-        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        procs.append(
-            subprocess.Popen(
-                [sys.executable, str(script), repo_root],
-                env=env,
-                cwd=repo_root,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT,
-                text=True,
-            )
-        )
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=120)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.skip("2-process handshake timed out on this box")
-        outs.append((p.returncode, out))
+    outs = _run_two_procs(_WORKER, tmp_path, port=12765, timeout=120)
     for rc, out in outs:
         assert rc == 0, out
         assert "ok devices=" in out

@@ -294,14 +294,8 @@ class VideoDataset(BaseVideoDataset):
         frames are JPEG-decoded/copied — 2.5x fewer decodes at the zoo's
         sequence_length 12 of 30 stored frames); default all frames.
         """
-        from video_prediction_tpu.data.native_loader import (
-            bilinear_resize_uint8,
-            center_crop_or_pad,
-        )
-
         if time_indices is None:
             time_indices = range(self.SOURCE_SEQUENCE_LENGTH)
-        h, w, c = self.IMAGE_SHAPE
         hp = self.hparams
         # strict exactly-one unpack: a record with several byte payloads
         # under one frame key is malformed and must raise, not silently
@@ -310,6 +304,27 @@ class VideoDataset(BaseVideoDataset):
         for i in time_indices:
             (raw,) = feats[self.IMAGE_KEY % i]
             raws.append(raw)
+        out = {"images": self._materialize_images(raws)}
+        if self.ACTION_KEY and hp.use_state:
+            out["actions"] = np.stack(
+                [feats[self.ACTION_KEY % i] for i in time_indices]
+            ).astype(np.float32)
+        if self.STATE_KEY and hp.use_state:
+            out["states"] = np.stack(
+                [feats[self.STATE_KEY % i] for i in time_indices]
+            ).astype(np.float32)
+        return out
+
+    def _materialize_images(self, raws) -> np.ndarray:
+        """Decode a list of per-frame payloads and apply crop/scale — the
+        single implementation both native parse paths share."""
+        from video_prediction_tpu.data.native_loader import (
+            bilinear_resize_uint8,
+            center_crop_or_pad,
+        )
+
+        h, w, c = self.IMAGE_SHAPE
+        hp = self.hparams
         if self.IMAGE_ENCODING == "raw":
             decode = lambda raw: np.frombuffer(raw, np.uint8).reshape(h, w, c)
         elif self.IMAGE_ENCODING == "jpeg":
@@ -333,16 +348,7 @@ class VideoDataset(BaseVideoDataset):
             images = center_crop_or_pad(images, hp.crop_size)
         if hp.scale_size and images.shape[1:3] != (hp.scale_size, hp.scale_size):
             images = bilinear_resize_uint8(images, hp.scale_size, hp.scale_size)
-        out = {"images": images}
-        if self.ACTION_KEY and hp.use_state:
-            out["actions"] = np.stack(
-                [feats[self.ACTION_KEY % i] for i in time_indices]
-            ).astype(np.float32)
-        if self.STATE_KEY and hp.use_state:
-            out["states"] = np.stack(
-                [feats[self.STATE_KEY % i] for i in time_indices]
-            ).astype(np.float32)
-        return out
+        return images
 
     # ---- native gather fast path -------------------------------------- #
     def gather_plan(self):
@@ -367,16 +373,10 @@ class VideoDataset(BaseVideoDataset):
         request — the data-plane hot path: no per-feature dict, key
         matching already done in C++. Same contract and preprocessing as
         :meth:`parse_example_np`."""
-        from video_prediction_tpu.data.native_loader import (
-            bilinear_resize_uint8,
-            center_crop_or_pad,
-        )
-
         T = self.SOURCE_SEQUENCE_LENGTH
         if time_indices is None:
             time_indices = range(T)
         _, has_a, has_s = self.gather_plan()
-        hp = self.hparams
         nvals = g.nvals
         types = g.types
         if not (types[:T] == 0).all() or not (nvals[:T] == 1).all():
@@ -385,26 +385,7 @@ class VideoDataset(BaseVideoDataset):
                 "one bytes payload"
             )
         # request order puts image payloads first, one per frame
-        h, w, c = self.IMAGE_SHAPE
-        if self.IMAGE_ENCODING == "raw":
-            decode = lambda raw: np.frombuffer(raw, np.uint8).reshape(h, w, c)
-        elif self.IMAGE_ENCODING == "jpeg":
-            from video_prediction_tpu import native
-
-            decode = native.decode_jpeg if native.codec_available() else _pil_decode
-        elif self.IMAGE_ENCODING == "png":
-            decode = _pil_decode
-        else:
-            raise ValueError(self.IMAGE_ENCODING)
-        raws = [g.byte_values[i] for i in time_indices]
-        pool = _decode_pool()
-        frames = list(pool.map(decode, raws)) if pool else [decode(r) for r in raws]
-        images = np.stack(frames)
-        if hp.crop_size:
-            images = center_crop_or_pad(images, hp.crop_size)
-        if hp.scale_size and images.shape[1:3] != (hp.scale_size, hp.scale_size):
-            images = bilinear_resize_uint8(images, hp.scale_size, hp.scale_size)
-        out = {"images": images}
+        out = {"images": self._materialize_images([g.byte_values[i] for i in time_indices])}
         idx = list(time_indices)
         fpos = 0
         if has_a:

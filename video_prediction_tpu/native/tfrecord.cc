@@ -520,8 +520,10 @@ int tfrex_gather_sizes(ExampleParser* ep, const char* keys,
                        uint64_t* int64s_total) {
   std::unordered_map<std::string_view, int64_t> index;
   index.reserve(ep->entries.size() * 2);
+  // assignment (LAST duplicate key wins) to match the dict path's
+  // out[key] overwrite semantics — emplace would silently pick the first
   for (size_t i = 0; i < ep->entries.size(); ++i)
-    index.emplace(std::string_view(ep->entries[i].key), (int64_t)i);
+    index[std::string_view(ep->entries[i].key)] = (int64_t)i;
   ep->plan.clear();
   ep->plan.reserve(nkeys);
   uint64_t nb = 0, nf = 0, ni = 0;
