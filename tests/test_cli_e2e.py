@@ -298,6 +298,36 @@ class TestEvaluateCLI:
         psnr = np.loadtxt(os.path.join(results, "bair", "repeat", "psnr.txt"))
         assert psnr.shape[0] == 3  # one row per test-set example, no more
 
+    def test_evaluate_on_native_backend(self, tmp_path, monkeypatch):
+        """evaluate.py end-to-end on the TF-free native data backend
+        (checkpoint-free repeat baseline over a real TFRecord fixture)."""
+        from video_prediction_tpu import native
+
+        if not native.available():
+            pytest.skip("no native library")
+        import evaluate as eval_cli
+
+        from test_data import write_bair_fixture
+
+        d = tmp_path / "bair" / "test"
+        d.mkdir(parents=True)
+        write_bair_fixture(str(d / "traj.tfrecord"), num_examples=3, seq_len=30, size=64)
+        monkeypatch.setenv("VP_DATA_BACKEND", "native")
+        results = str(tmp_path / "results_native")
+        eval_cli.main(
+            [
+                "--input_dir", str(d),
+                "--model", "repeat",
+                "--dataset", "bair",
+                "--results_dir", results,
+                "--batch_size", "2",
+                "--num_samples", "2",
+                "--only_metrics",
+            ]
+        )
+        psnr = np.loadtxt(os.path.join(results, "bair", "repeat", "psnr.txt"))
+        assert psnr.shape[0] == 2 and np.isfinite(psnr).all()
+
     def test_plot_results(self, run_dir, tmp_path):
         import evaluate as eval_cli
         import plot_results as plot_cli
