@@ -1,14 +1,14 @@
 #!/usr/bin/env bash
 # Dataset fetch + preprocess driver.
 # Counterpart of the reference's data/download_and_preprocess_dataset.sh.
-# Usage: download_and_preprocess_dataset.sh <bair|kth> <out_dir>
+# Usage: download_and_preprocess_dataset.sh <bair|kth|something> <out_dir>
 #
 # NOTE: this build environment has no network egress; these scripts document
 # the same sources the reference uses and work in a connected environment.
 set -euo pipefail
 
-DATASET=${1:?usage: $0 <bair|kth> <out_dir>}
-OUT=${2:?usage: $0 <bair|kth> <out_dir>}
+DATASET=${1:?usage: $0 <bair|kth|something> <out_dir>}
+OUT=${2:?usage: $0 <bair|kth|something> <out_dir>}
 mkdir -p "$OUT"
 
 case "$DATASET" in
@@ -30,6 +30,14 @@ case "$DATASET" in
     done
     echo "extract frames (requires ffmpeg or PIL-compatible extraction), then:"
     echo "python -m video_prediction_tpu.data.kth $OUT/frames $OUT/tfrecords"
+    ;;
+  something)
+    # 20BN Something-Something requires a registration-gated download from
+    # https://www.qualcomm.com/developer/software/something-something-v-2-dataset
+    # (v1 was 20bn.com). After extracting the per-video frame directories:
+    echo "Something-Something is registration-gated; download the archive from"
+    echo "the 20BN/Qualcomm site, extract frames to $OUT/frames/<video_id>/, then:"
+    echo "python -m video_prediction_tpu.data.something $OUT/frames $OUT/tfrecords"
     ;;
   *)
     echo "unknown dataset: $DATASET" >&2; exit 1;;
