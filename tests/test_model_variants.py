@@ -154,6 +154,26 @@ class TestRegimeFormulations:
             np.array(o0["gen_images"]), np.array(o1["gen_images"]), atol=1e-5
         )
 
+    def test_remat_prevent_cse_same_math(self):
+        """remat_prevent_cse=True (the memory-bounded full-unroll regime —
+        lets batch>48 compile at scan_unroll=0 where the CSE'd form OOMs
+        HBM) is a pure scheduling change: same param tree, same rollout,
+        and a train step matches the default numerically."""
+        b = batch()
+        results = []
+        for pcse in (False, True):
+            model = get_model_class("savp")(
+                hp(scan_unroll=0, dependent_mask=True, remat_prevent_cse=pcse)
+            )
+            params, _ = model.init_variables(jax.random.PRNGKey(0), b)
+            o = model.forward(params, b, jax.random.PRNGKey(1), jnp.zeros((), jnp.int32), train=False)
+            ts = create_train_state(model, jax.random.PRNGKey(0), b)
+            step = make_train_step(model, donate=False)
+            ts, scalars = step(ts, b)
+            results.append((np.asarray(o["gen_images"]), float(scalars["g_loss"])))
+        np.testing.assert_allclose(results[0][0], results[1][0], atol=1e-5)
+        assert results[0][1] == pytest.approx(results[1][1], rel=1e-5)
+
 
 class TestArchVariants:
     def test_where_add_placements(self):

@@ -115,6 +115,14 @@ class ModelHparams:
     # re-executes only the cheap elementwise chains between them — the
     # convs, where the FLOPs are, run once
     remat_policy: str = "full"  # full | names
+    # keep the remat CSE barrier even when the scan is fully unrolled.
+    # Default False lets XLA CSE the rematerialized cell back together at
+    # scan_unroll=0 (no recompute — the measured 1.7x regime), at the cost
+    # of ALL timestep activations being live: the full-unroll train step
+    # OOMs HBM past ~batch 48 (measured: batch 64 needs 16.38G of 15.75G).
+    # True restores the memory bound (recompute returns), letting larger
+    # batches compile fully unrolled.
+    remat_prevent_cse: bool = False
     # unroll factor of the time scan (trades compile time/code size for
     # cross-timestep fusion); 0 = fully unroll the T-1 loop, which is the
     # fastest option measured on TPU for these short rollouts (1.7x at

@@ -357,7 +357,12 @@ class SAVPCell(nn.Module):
             # same formulation inflates recompute (757 vs 713 ms at batch
             # 64 unroll 6, executed flops 73.8 vs 66.7 TF), so the concat +
             # einsum form stays for rolled scans.
-            fused_composite = hp.scan_unroll == 0
+            # (the CSE'd-remat full-unroll regime only: with
+            # remat_prevent_cse the backward re-executes the cell, and the
+            # fused form inflates that recompute just like the rolled case)
+            fused_composite = hp.scan_unroll == 0 and not (
+                hp.remat and hp.remat_prevent_cse
+            )
             if hp.dependent_mask and fused_composite:
                 cand_cat = jnp.concatenate(
                     [cand.astype(feat_top.dtype) for cand in candidates], axis=-1
@@ -494,7 +499,13 @@ class SAVPGenerator(nn.Module):
                 policy = None  # recompute the whole cell (min memory)
             else:
                 raise ValueError(f"unknown remat_policy {hp.remat_policy!r}")
-            body = nn.remat(_cell_step, prevent_cse=False, policy=policy)
+            # prevent_cse=False at scan_unroll=0 lets XLA CSE the remat away
+            # (no recompute, max memory — OOMs past ~batch 48);
+            # remat_prevent_cse=True keeps the barrier so full unroll stays
+            # memory-bounded at large batch (see hparams)
+            body = nn.remat(
+                _cell_step, prevent_cse=hp.remat_prevent_cse, policy=policy
+            )
         else:
             body = _cell_step
         # scan_unroll=0 -> fully unroll the time loop: XLA then fuses and
