@@ -38,7 +38,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 # keep fp32 params but bf16 conv/matmul compute via hparams below
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
@@ -55,15 +54,21 @@ HEADLINE_BATCH = 16
 BATCHES = (16, 32, 64)
 # scan_unroll=0 fully unrolls the T-1 time loop: XLA fuses/pipelines across
 # timesteps — measured 1.71x at batch 16 and 1.33x at batch 32 (honest
-# clock). At batch 64 the fully-unrolled graph exceeds this env's remote
-# compile helper (48 does too); unroll=6 is the best compiling point there
-# (897 vs 861 frames/s rolled; unroll=8 measured 814).
+# clock). At batch 64 the fully-unrolled CSE'd graph OOMs HBM (measured
+# 16.38G of 15.75G — the r3 "HTTP 500" re-diagnosis; the compile helper
+# reports real errors in the 500 body); unroll=6 is the best compiling
+# point there (897 vs 861 frames/s rolled; unroll=8 measured 814).
 UNROLL = {16: 0, 32: 0, 64: 6}
 # ConvLSTM gate-conv layout per operating point (measured, see
 # ARCHITECTURE.md): "merged" wins when the scan is fully unrolled
 # (253 vs 256 ms at batch 16), "split" wins in the rolled remat regime
 # (713 vs 746 ms at batch 64).
 GATE_CONV = {16: "merged", 32: "merged", 64: "split"}
+# Per-row remat-CSE-barrier and gate-math-dtype overrides (the r4 perf
+# campaign levers); empty entries take the hparam defaults (CSE'd where
+# the unrolled graph fits, fp32 gate math).
+PREVENT_CSE: dict[int, bool] = {}
+GATE_DTYPE: dict[int, str] = {}
 
 # peak dense bf16 FLOPS per chip by PJRT device_kind (public spec sheets);
 # unknown kinds report mfu=None rather than a made-up number
@@ -119,37 +124,25 @@ def _bench_one(batch_size: int, n_steps: int = 30):
     """Sustained sec/step over ``n_steps`` chained steps, synced by
     fetching the final loss value (see module docstring — block_until_ready
     alone measures enqueue, not execution, on this runtime). Best of 2
-    rounds guards against host-side noise."""
-    from video_prediction_tpu.configs.hparams import ModelHparams
+    rounds guards against host-side noise. Hparams/batch/clock shared with
+    scripts/bench_probe.py via bench_common (r3 ADVICE de-dup)."""
+    from video_prediction_tpu.bench_common import (
+        savp_bench_hparams,
+        synthetic_batch,
+        timed_chained_steps,
+    )
     from video_prediction_tpu.models import get_model_class
     from video_prediction_tpu.train import create_train_state, make_train_step
 
-    hp = ModelHparams(
-        context_frames=CONTEXT,
-        sequence_length=SEQ_LEN,
-        batch_size=batch_size,
-        l1_weight=100.0,
-        kl_weight=0.01,
-        nz=8,
-        video_sn_gan_weight=0.1,
-        video_sn_vae_gan_weight=0.1,
-        gan_loss_type="LSGAN",
-        beta1=0.5,
-        transformation="cdna",
-        num_transformed_images=4,
-        schedule_sampling_k=900.0,
-        compute_dtype="bfloat16",
+    hp = savp_bench_hparams(
+        batch_size,
         scan_unroll=UNROLL.get(batch_size, 1),
         lstm_gate_conv=GATE_CONV.get(batch_size, "merged"),
+        prevent_cse=PREVENT_CSE.get(batch_size, False),
+        gate_dtype=GATE_DTYPE.get(batch_size, "float32"),
     )
     model = get_model_class("savp")(hp)
-
-    rng = np.random.RandomState(0)
-    batch = {
-        "images": jax.numpy.asarray(
-            rng.rand(batch_size, SEQ_LEN, SIZE, SIZE, 3), jax.numpy.float32
-        )
-    }
+    batch = synthetic_batch(batch_size)
 
     ts = create_train_state(model, jax.random.PRNGKey(0), batch)
     step_fn = make_train_step(model)
@@ -179,14 +172,8 @@ def _bench_one(batch_size: int, n_steps: int = 30):
         if batch_size == HEADLINE_BATCH:
             fwd_flops = _forward_flops(model, ts, batch)
 
-    dt = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _ in range(n_steps):
-            ts, scalars = step_fn(ts, batch)
-        g = float(scalars["g_loss"])  # forces execution of the whole chain
-        dt = min(dt, time.perf_counter() - t0)
-    return dt / n_steps, flops, fwd_flops, g, float(scalars["d_loss"])
+    sec_per_step, ts, scalars = timed_chained_steps(step_fn, ts, batch, n_steps)
+    return sec_per_step, flops, fwd_flops, float(scalars["g_loss"]), float(scalars["d_loss"])
 
 
 def main():

@@ -22,12 +22,15 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 import time
+
+# allow `python scripts/<tool>.py` from anywhere: put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
 
 import jax
-import numpy as np
 
 
 def probe(
@@ -40,38 +43,31 @@ def probe(
     size: int = 64,
     rounds: int = 2,
     prevent_cse: bool = False,
+    gate_dtype: str = "float32",
 ) -> dict:
-    """Measure sustained sec/step; returns a dict of the result row."""
-    from video_prediction_tpu.configs.hparams import ModelHparams
+    """Measure sustained sec/step; returns a dict of the result row.
+
+    Hparams/batch/clock shared with bench.py via bench_common (r3 ADVICE
+    de-dup); the probe adds per-call compile timing on top."""
+    from video_prediction_tpu.bench_common import (
+        savp_bench_hparams,
+        synthetic_batch,
+        timed_chained_steps,
+    )
     from video_prediction_tpu.models import get_model_class
     from video_prediction_tpu.train import create_train_state, make_train_step
 
-    hp = ModelHparams(
-        context_frames=context_frames,
-        sequence_length=sequence_length,
-        batch_size=batch_size,
-        l1_weight=100.0,
-        kl_weight=0.01,
-        nz=8,
-        video_sn_gan_weight=0.1,
-        video_sn_vae_gan_weight=0.1,
-        gan_loss_type="LSGAN",
-        beta1=0.5,
-        transformation="cdna",
-        num_transformed_images=4,
-        schedule_sampling_k=900.0,
-        compute_dtype="bfloat16",
+    hp = savp_bench_hparams(
+        batch_size,
         scan_unroll=unroll,
         lstm_gate_conv=gate,
-        remat_prevent_cse=prevent_cse,
+        prevent_cse=prevent_cse,
+        gate_dtype=gate_dtype,
+        sequence_length=sequence_length,
+        context_frames=context_frames,
     )
     model = get_model_class("savp")(hp)
-    rng = np.random.RandomState(0)
-    batch = {
-        "images": jax.numpy.asarray(
-            rng.rand(batch_size, sequence_length, size, size, 3), jax.numpy.float32
-        )
-    }
+    batch = synthetic_batch(batch_size, sequence_length, size)
     ts = create_train_state(model, jax.random.PRNGKey(0), batch)
     step_fn = make_train_step(model)
 
@@ -80,22 +76,16 @@ def probe(
     g = float(scalars["g_loss"])  # value fetch = real sync (incl. compile)
     compile_s = time.perf_counter() - t0
 
-    dt = float("inf")
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        for _ in range(n_steps):
-            ts, scalars = step_fn(ts, batch)
-        g = float(scalars["g_loss"])
-        dt = min(dt, time.perf_counter() - t0)
-    sec = dt / n_steps
+    sec, ts, scalars = timed_chained_steps(step_fn, ts, batch, n_steps, rounds)
     return {
         "batch": batch_size,
         "unroll": unroll,
         "gate": gate,
+        "gate_dtype": gate_dtype,
         "ms_per_step": sec * 1e3,
         "frames_per_sec": batch_size * (sequence_length - context_frames) / sec,
         "compile_s": compile_s,
-        "g_loss": g,
+        "g_loss": float(scalars["g_loss"]),
     }
 
 
@@ -112,7 +102,14 @@ def main() -> None:
         "--prevent_cse",
         action="store_true",
         help="keep the remat CSE barrier at full unroll (memory-bounded, "
-        "recompute returns; lets batch>48 compile at scan_unroll=0)",
+        "recompute returns; intended to let batch>48 compile at scan_unroll=0)",
+    )
+    p.add_argument(
+        "--gate_dtype",
+        choices=("float32", "bfloat16"),
+        default="float32",
+        help="ConvLSTM gate-math dtype (bfloat16 halves the dominant "
+        "large-batch HBM term; fp32 is the golden-pinned default)",
     )
     args = p.parse_args()
 
@@ -128,10 +125,12 @@ def main() -> None:
         context_frames=args.context_frames,
         size=args.size,
         prevent_cse=args.prevent_cse,
+        gate_dtype=args.gate_dtype,
     )
     r["prevent_cse"] = args.prevent_cse
     print(
         "RESULT batch={batch} unroll={unroll} gate={gate} prevent_cse={prevent_cse} "
+        "gate_dtype={gate_dtype} "
         "ms_per_step={ms_per_step:.1f} frames_per_sec={frames_per_sec:.1f} "
         "compile_s={compile_s:.0f} g_loss={g_loss:.4f}".format(**r),
         flush=True,

@@ -110,6 +110,43 @@ class TestSchedules:
         mask = schedules.sample_use_gt_mask(jax.random.PRNGKey(0), jnp.asarray(0), 2, 10, hp, False)
         assert bool(mask[:3].all()) and not bool(mask[3:].any())
 
+    def test_use_gt_mask_exact_count(self):
+        """schedule_sampling_exact draws EXACTLY round(p*B) ground-truth
+        samples per non-context timestep (reference ``scheduled_sample``
+        shuffle-and-take semantics), at any step along the schedule."""
+        import jax
+        import numpy as np
+
+        B = 16
+        hp = ModelHparams(
+            context_frames=2,
+            schedule_sampling="inverse_sigmoid",
+            schedule_sampling_k=900.0,
+            schedule_sampling_exact=True,
+        )
+        for step in (0, 2000, 5000, 10**6):
+            p = float(schedules.ground_truth_prob(jnp.asarray(step), hp))
+            mask = schedules.sample_use_gt_mask(
+                jax.random.PRNGKey(step), jnp.asarray(step), B, 12, hp, True
+            )
+            counts = np.asarray(mask[2:]).sum(axis=1)  # per-timestep GT count
+            assert (counts == round(p * B)).all(), (step, p, counts)
+            assert bool(mask[:2].all())  # context rows untouched
+
+    def test_use_gt_mask_iid_path_unchanged_by_exact_flag(self):
+        """The default i.i.d. sampler ignores the new hparam entirely —
+        same key, same mask as before the flag existed."""
+        import jax
+        import numpy as np
+
+        hp = ModelHparams(context_frames=2, schedule_sampling="inverse_sigmoid")
+        m1 = schedules.sample_use_gt_mask(jax.random.PRNGKey(7), jnp.asarray(3000), 8, 12, hp, True)
+        p = float(schedules.ground_truth_prob(jnp.asarray(3000), hp))
+        bern = jax.random.bernoulli(jax.random.PRNGKey(7), p, (11, 8))
+        expect = np.array(bern, copy=True)
+        expect[:2] = True
+        assert (np.asarray(m1) == expect).all()
+
 
 class TestDatasetHparams:
     def test_defaults_roundtrip(self):

@@ -203,6 +203,24 @@ class TestArchVariants:
         leaf = jax.tree_util.tree_leaves(ts.params["generator"])[0]
         assert leaf.dtype == jnp.float32
 
+    def test_bfloat16_gate_math(self):
+        """gate_dtype="bfloat16" (the r4 HBM-bandwidth lever) changes ONLY
+        the ConvLSTM gate math dtype: the param tree is identical to the
+        fp32-gate tree (checkpoints interchange), the train step is finite,
+        and the fp32 default's numerics stay golden-pinned elsewhere."""
+        b = batch()
+        m32 = get_model_class("savp")(hp(compute_dtype="bfloat16"))
+        m16 = get_model_class("savp")(hp(compute_dtype="bfloat16", gate_dtype="bfloat16"))
+        p32, _ = m32.init_variables(jax.random.PRNGKey(0), b)
+        p16, _ = m16.init_variables(jax.random.PRNGKey(0), b)
+        assert jax.tree_util.tree_structure(p32) == jax.tree_util.tree_structure(p16)
+        for a, bb in zip(jax.tree_util.tree_leaves(p32), jax.tree_util.tree_leaves(p16)):
+            assert a.shape == bb.shape and a.dtype == bb.dtype
+        ts = create_train_state(m16, jax.random.PRNGKey(0), b)
+        step = make_train_step(m16, donate=False)
+        ts, scalars = step(ts, b)
+        assert np.isfinite(float(scalars["g_loss"]))
+
     def test_deconv_upsample_and_strided_downsample(self):
         model = get_model_class("savp")(
             hp(upsample_layer="deconv2d", downsample_layer="conv2d", norm_layer="layer")

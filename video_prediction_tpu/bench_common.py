@@ -1,0 +1,91 @@
+"""Shared benchmark plumbing for bench.py and scripts/bench_probe.py.
+
+Both tools time the SAME flagship configuration (full SAVP: VAE + GAN,
+ConvLSTM/CDNA generator, image+video SN discriminators — the model named
+by BASELINE.json's north star) under the SAME honest clock, so the
+hparams block, the synthetic batch, and the chained-steps timing loop
+live here once (r3 ADVICE: the two copies had already drifted on
+n_steps defaults).
+
+HONEST CLOCK (the r2 correction, see bench.py docstring for the full
+story): ``jax.block_until_ready`` returns at *enqueue* on this tunneled
+runtime, so timing chains ``n_steps`` train steps — each step's
+TrainState feeds the next, so nothing can be elided — and fetches the
+final loss VALUE, which cannot materialize before every chained step has
+executed on the device.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Tuple
+
+import numpy as np
+
+SEQ_LEN = 12
+CONTEXT = 2
+SIZE = 64
+
+
+def savp_bench_hparams(
+    batch_size: int,
+    *,
+    scan_unroll: int,
+    lstm_gate_conv: str,
+    prevent_cse: bool = False,
+    gate_dtype: str = "float32",
+    sequence_length: int = SEQ_LEN,
+    context_frames: int = CONTEXT,
+):
+    """The canonical benchmark ModelHparams: full SAVP, bf16 compute."""
+    from video_prediction_tpu.configs.hparams import ModelHparams
+
+    return ModelHparams(
+        context_frames=context_frames,
+        sequence_length=sequence_length,
+        batch_size=batch_size,
+        l1_weight=100.0,
+        kl_weight=0.01,
+        nz=8,
+        video_sn_gan_weight=0.1,
+        video_sn_vae_gan_weight=0.1,
+        gan_loss_type="LSGAN",
+        beta1=0.5,
+        transformation="cdna",
+        num_transformed_images=4,
+        schedule_sampling_k=900.0,
+        compute_dtype="bfloat16",
+        scan_unroll=scan_unroll,
+        lstm_gate_conv=lstm_gate_conv,
+        remat_prevent_cse=prevent_cse,
+        gate_dtype=gate_dtype,
+    )
+
+
+def synthetic_batch(batch_size: int, sequence_length: int = SEQ_LEN, size: int = SIZE):
+    """Deterministic synthetic BAIR-shaped image batch (fp32 [0,1))."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    return {
+        "images": jnp.asarray(
+            rng.rand(batch_size, sequence_length, size, size, 3), jnp.float32
+        )
+    }
+
+
+def timed_chained_steps(
+    step_fn, ts, batch, n_steps: int, rounds: int = 2
+) -> Tuple[float, object, dict]:
+    """Best-of-``rounds`` sustained sec/step over ``n_steps`` chained steps,
+    synced by fetching the final g_loss value. Returns
+    (sec_per_step, final TrainState, final scalars)."""
+    dt = float("inf")
+    scalars = None
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            ts, scalars = step_fn(ts, batch)
+        float(scalars["g_loss"])  # value fetch = the only real sync
+        dt = min(dt, time.perf_counter() - t0)
+    return dt / n_steps, ts, scalars

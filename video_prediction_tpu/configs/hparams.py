@@ -101,6 +101,13 @@ class ModelHparams:
     schedule_sampling: str = "inverse_sigmoid"  # none | inverse_sigmoid | linear
     schedule_sampling_k: float = 900.0
     schedule_sampling_steps: Tuple[int, int] = (0, 100000)
+    # Exact-count teacher forcing: draw exactly round(p*B) ground-truth
+    # samples per timestep via a per-step rank cut (the reference
+    # ``scheduled_sample``'s shuffle-and-take semantics) instead of i.i.d.
+    # bernoulli(p). Same expectation; the exact form removes the per-step
+    # count variance. Default off (i.i.d. is the documented, golden-pinned
+    # default); turn on for reference-parity runs.
+    schedule_sampling_exact: bool = False
     # --- action/state conditioning ---
     use_states: bool = False
     # --- numerics / memory ---
@@ -140,6 +147,14 @@ class ModelHparams:
     # bench.py opt into "merged" explicitly. Measured numbers in
     # ARCHITECTURE.md perf notes (round 3).
     lstm_gate_conv: str = "split"  # merged | split
+    # Dtype of the ConvLSTM gate MATH (post-conv layer norms, sigmoids/tanh,
+    # cell-state update). "float32" (default) is the documented stability
+    # invariant every golden pins; "bfloat16" halves the dominant HBM-
+    # bandwidth term of the large-batch step (the batch-64 OOM report
+    # attributed the memory/bandwidth bulk to eleven f32 [B,64,64,128]
+    # gate-conv temps) — a measured A/B lever for the perf campaign.
+    # Cell carries (c, h) and LN params stay as before in both modes.
+    gate_dtype: str = "float32"  # float32 | bfloat16
 
     def replace(self, **kw) -> "ModelHparams":
         return dataclasses.replace(self, **kw)
@@ -155,7 +170,13 @@ class DatasetHparams:
     context_frames: int = 2
     sequence_length: int = 12
     long_sequence_length: int = 30
-    time_shift: int = 1  # random temporal stride for slicing (train)
+    # RECONSTRUCTION HYPOTHESIS (unverified — reference mount empty, SURVEY
+    # §0 re-verify list): implemented as a temporal SUBSAMPLE STRIDE — the
+    # slice takes every time_shift-th frame of a random window
+    # (data/base.py#_slice_sequences). The reference's `time_shift` could
+    # instead be an offset/slide control; whichever it is silently changes
+    # what data the model trains on, so walk this first when the mount works.
+    time_shift: int = 1
     use_state: bool = False
     shuffle_on_val: bool = False
     crop_size: int = 0

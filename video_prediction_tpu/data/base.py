@@ -139,7 +139,14 @@ class BaseVideoDataset:
     # ------------------------------------------------------------------ #
     def _slice_sequences(self, example: Dict[str, Any]):
         """Random (train) / deterministic (eval) temporal window of
-        ``hparams.sequence_length`` frames (reference ``slice_sequences``)."""
+        ``hparams.sequence_length`` frames (reference ``slice_sequences``).
+
+        ``time_shift`` semantics are a RECONSTRUCTION HYPOTHESIS (the
+        reference mount is empty — SURVEY §0): we read it as a temporal
+        subsample STRIDE (take every time_shift-th frame of the window);
+        an offset/slide interpretation is also plausible. Flagged in
+        hparams.py#DatasetHparams.time_shift and ARCHITECTURE.md — walk
+        it first when the reference becomes readable."""
         tf = _tf()
         hp = self.hparams
         source_len = self.source_sequence_length

@@ -134,6 +134,7 @@ class SAVPCell(nn.Module):
                 use_norm=hp.conv_rnn_norm,
                 gate_conv=hp.lstm_gate_conv,
                 dtype=self.dtype,
+                gate_dtype=jnp.bfloat16 if hp.gate_dtype == "bfloat16" else jnp.float32,
                 name=name,
             )
         if hp.conv_rnn == "gru":

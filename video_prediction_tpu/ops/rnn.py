@@ -49,6 +49,14 @@ class ConvLSTMCell(nn.Module):
     # the hparam explicitly; this default protects direct cell users).
     gate_conv: str = "split"
     dtype: Dtype | None = None
+    # Dtype of the gate MATH (post-conv LN + sigmoid/tanh + cell-state
+    # update). Default fp32 for stability — the documented invariant, and
+    # the numerics every golden trajectory pins. bfloat16 halves the
+    # dominant HBM term of the large-batch train step (the r3 OOM report
+    # fingered eleven f32 [128,64,64,128] gate-conv temps); it is a
+    # measured A/B lever (hparams.gate_dtype), NOT a default. LN params
+    # stay fp32 either way (flax param_dtype default).
+    gate_dtype: Dtype = jnp.float32
 
     def initialize_carry(self, batch: int, spatial: Tuple[int, int], dtype=jnp.float32):
         h, w = spatial
@@ -87,21 +95,25 @@ class ConvLSTMCell(nn.Module):
             z = zx + zh
         else:
             raise ValueError(f"unknown gate_conv {self.gate_conv!r}")
-        z = z.astype(jnp.float32)
+        gdt = self.gate_dtype
+        # LayerNorm dtype=None promotes with its fp32 params (i.e. computes
+        # fp32); pass the gate dtype explicitly so bf16 gates stay bf16
+        ln_dtype = None if gdt == jnp.float32 else gdt
+        z = z.astype(gdt)
         # NOTE: keep the per-gate LayerNorms as four separate calls on 4-D
         # tensors. Fusing them into one grouped LN over a [B,H,W,4,C] view
         # (identical math, 1/4 the kernels) measured 1.59x SLOWER end-to-end
         # on TPU — XLA lowers the 5-D small-trailing-dim layout badly.
         i, f, g, o = jnp.split(z, 4, axis=-1)
         if self.use_norm:
-            norm = lambda n: nn.LayerNorm(name=n, use_bias=True, use_scale=True)
+            norm = lambda n: nn.LayerNorm(name=n, use_bias=True, use_scale=True, dtype=ln_dtype)
             i, f, g, o = norm("ln_i")(i), norm("ln_f")(f), norm("ln_g")(g), norm("ln_o")(o)
         i = jax.nn.sigmoid(i)
-        f = jax.nn.sigmoid(f + self.forget_bias)
+        f = jax.nn.sigmoid(f + jnp.asarray(self.forget_bias, gdt))
         g = jnp.tanh(g)
         o = jax.nn.sigmoid(o)
-        c_new = f * c.astype(jnp.float32) + i * g
-        c_out = nn.LayerNorm(name="ln_c")(c_new) if self.use_norm else c_new
+        c_new = f * c.astype(gdt) + i * g
+        c_out = nn.LayerNorm(name="ln_c", dtype=ln_dtype)(c_new) if self.use_norm else c_new
         h_new = o * jnp.tanh(c_out)
         c_new = c_new.astype(c.dtype)
         h_new = h_new.astype(h.dtype)

@@ -84,9 +84,12 @@ def sample_use_gt_mask(
     """Per-(timestep, sample) teacher-forcing mask ``[T-1, B]`` (bool).
 
     Context-frame inputs (t < context_frames) are always ground truth.
-    Note: the reference's ``scheduled_sample`` draws an exact count of
-    ground-truth samples per step; we use i.i.d. bernoulli with the same
-    probability — identical in expectation, simpler under jit.
+    Two samplers, selected by ``hp.schedule_sampling_exact``:
+    i.i.d. bernoulli(p) per (t, b) — the default — or the reference
+    ``scheduled_sample``'s exact-count semantics: exactly round(p*B)
+    ground-truth samples per timestep, chosen by a per-timestep random
+    rank cut (jit-friendly equivalent of shuffle-and-take-first-k).
+    Identical in expectation; exact removes the per-step count variance.
     """
     tm1 = seq_len - 1
     t_idx = jnp.arange(tm1)[:, None]  # [T-1, 1]
@@ -94,5 +97,13 @@ def sample_use_gt_mask(
     if not train or hp.schedule_sampling == "none":
         return jnp.broadcast_to(in_context, (tm1, batch))
     p = ground_truth_prob(step, hp)
+    if hp.schedule_sampling_exact:
+        # rank cut: mark the k = round(p*B) lowest of B uniforms per row.
+        # k is traced (depends on step) so the comparison, not the shape,
+        # carries the data dependence — static shapes under jit.
+        u = jax.random.uniform(rng, (tm1, batch))
+        k = jnp.round(p * batch).astype(jnp.int32)
+        ranks = jnp.argsort(jnp.argsort(u, axis=1), axis=1)
+        return jnp.logical_or(in_context, ranks < k)
     bern = jax.random.bernoulli(rng, p, (tm1, batch))
     return jnp.logical_or(in_context, bern)
