@@ -222,6 +222,11 @@ def main(argv=None):
 
     # ---- loop ----
     gif_freq = args.gif_freq or args.image_summary_freq
+    # ONE persistent val iterator: successive eval/accum_eval firings walk
+    # forward through the val set like the reference's accumulated eval,
+    # instead of rebuilding the iterator (same seed -> identical leading
+    # batches) at every firing (r3 VERDICT weak #6)
+    val_iter = val_data.make_iterator(local_bs)
     max_steps = hp.max_steps
     start_step = int(ts.step)
     t_last = time.time()
@@ -293,11 +298,10 @@ def main(argv=None):
                 (args.accum_eval_summary_freq, 64, "accum_eval"),
             ):
                 if crossed(freq):
-                    val_iter = val_data.make_iterator(local_bs)
                     accum = None
                     for i in range(n_eval):
                         vb = DeviceFeederOnce(next(val_iter), mesh)
-                        _, m = eval_step(ts.params, vb, jax.random.fold_in(ts.rng, i))
+                        _, m = eval_step(ts.params, vb, jax.random.fold_in(ts.rng, step + i))
                         m = {k: np.asarray(jax.device_get(v)) for k, v in m.items() if np.ndim(v) == 0}
                         accum = m if accum is None else {k: accum[k] + m[k] for k in m}
                     write_scalars(step, {f"{prefix}/{k}": v / n_eval for k, v in accum.items()})

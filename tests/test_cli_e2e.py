@@ -148,6 +148,42 @@ class TestTrainCLI:
         for tag in ("g_loss", "lr", "schedule_sampling_prob", "kl_weight", "gen_images"):
             assert tag in tags, (tag, sorted(tags))
 
+    def test_eval_firings_walk_the_val_set(self, tmp_path, monkeypatch):
+        """Two eval_summary firings must consume DIFFERENT val batches —
+        the persistent val iterator walks forward like the reference's
+        accumulated eval, instead of re-reading the same leading batches
+        from a freshly-seeded iterator each firing (r3 VERDICT weak #6)."""
+        import train as train_cli
+
+        seen = []
+        orig = train_cli.DeviceFeederOnce
+
+        def spy(batch, mesh):
+            seen.append(np.asarray(batch["images"]).tobytes())
+            return orig(batch, mesh)
+
+        monkeypatch.setattr(train_cli, "DeviceFeederOnce", spy)
+        out = str(tmp_path / "valwalk_run")
+        train_cli.main(
+            [
+                "--dataset", "synthetic",
+                "--dataset_hparams", "sequence_length=4,context_frames=2",
+                "--model", "savp",
+                "--model_hparams", TINY.replace("max_steps=3", "max_steps=2"),
+                "--output_dir", out,
+                "--save_freq", "0",
+                "--progress_freq", "0",
+                "--summary_freq", "0",
+                "--eval_summary_freq", "1",
+                "--image_summary_freq", "0",
+                "--accum_eval_summary_freq", "0",
+                "--no_tensorboard",
+            ]
+        )
+        assert len(seen) == 16, len(seen)  # 2 firings x n_eval=8
+        first, second = set(seen[:8]), set(seen[8:])
+        assert first.isdisjoint(second), "second eval firing re-read the same val batches"
+
     def test_train_on_native_backend(self, tmp_path, monkeypatch):
         """The full train CLI runs on the TF-free native data backend
         (VP_DATA_BACKEND=native) over a real TFRecord fixture — locking in

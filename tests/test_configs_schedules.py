@@ -55,6 +55,14 @@ class TestZoo:
             hp = apply_overrides(ModelHparams(), load_hparams_json(f))
             assert isinstance(hp, ModelHparams)
 
+    def test_action_free_datasets_have_matching_variant_surface(self):
+        """something/ mirrors the other action-free dataset's variant set
+        (r3 VERDICT next #7): deterministic, vae, gan, savp all present."""
+        for variant in ("ours_deterministic_l1", "ours_vae_l1", "ours_gan", "ours_savp"):
+            f = os.path.join(REPO, "hparams", "something", variant, "model_hparams.json")
+            assert os.path.exists(f), f
+            apply_overrides(ModelHparams(), load_hparams_json(f))
+
     def test_savp_variant_is_vae_gan(self):
         f = os.path.join(REPO, "hparams", "bair_action_free", "ours_savp", "model_hparams.json")
         hp = apply_overrides(ModelHparams(), load_hparams_json(f))

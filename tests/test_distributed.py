@@ -180,11 +180,14 @@ def _run_two_procs(
     extra_env=None,
     timeout=300,
     extra_args=(),
-    fail_on_timeout=False,
+    on_timeout="skip",
 ):
-    """``fail_on_timeout``: a deadlock IS the bug signal for collective
-    coverage (feed assembly / orbax sync) — don't convert it to a skip.
-    Handshake smoke tests keep skip semantics (slow-box tolerance)."""
+    """``on_timeout``: "skip" (slow-box tolerance, handshake smoke tests),
+    "fail" (a deadlock IS the bug signal for collective coverage — don't
+    convert it to a skip), or "return" (returns None so the caller can
+    retry a first-attempt hard timeout on a fresh port with a bigger
+    budget — under full-suite load this 1-core box can blow a 300 s
+    budget on a run that passes standalone in ~70 s; r3 VERDICT weak #3)."""
     script = tmp_path / "worker.py"
     script.write_text(script_body)
     procs = []
@@ -217,7 +220,9 @@ def _run_two_procs(
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
-            if fail_on_timeout:
+            if on_timeout == "return":
+                return None
+            if on_timeout == "fail":
                 pytest.fail(f"2-process run deadlocked (> {timeout}s)")
             pytest.skip("2-process run timed out on this box")
         outs.append((p.returncode, out))
@@ -230,16 +235,24 @@ def test_two_process_train_step(tmp_path):
     virtual devices, each feeding its per_host_batch shard through
     DeviceFeeder (make_array_from_process_local_data), one SAVP train
     step over the global (data,model) mesh, finite losses on both."""
-    for attempt, port in enumerate((12767, 12787)):
+    # attempt 0: normal budget, hard timeout returns None (retry);
+    # attempt 1: fresh port, doubled budget, a timeout now FAILS — real
+    # deadlocks still fail, only first-attempt load flakes retry.
+    for attempt, (port, budget, on_to) in enumerate(
+        ((12767, 300, "return"), (12787, 600, "fail"))
+    ):
         ckdir = tmp_path / f"ckpts{attempt}"
         outs = _run_two_procs(
             _TRAIN_WORKER,
             tmp_path,
             port=port,
+            timeout=budget,
             extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=2"},
             extra_args=(str(ckdir),),
-            fail_on_timeout=True,
+            on_timeout=on_to,
         )
+        if outs is None:
+            continue  # first-attempt hard timeout under suite load — retry
         if attempt == 0 and any(
             rc != 0 and "DEADLINE_EXCEEDED" in out for rc, out in outs
         ):

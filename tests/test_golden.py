@@ -43,7 +43,10 @@ GOLDEN_GAN_D = [0.199894, 0.198031, 0.195912, 0.192767, 0.189023]
 GOLDEN_ZOO = {
     "dna": [0.024232, 0.02293, 0.021497, 0.019935, 0.018271],
     "sna": [0.009134, 0.008537, 0.007921, 0.007289, 0.006651],
-    "sv2p": [0.016737, 0.015467, 0.014523, 0.012845, 0.012385],
+    # sv2p regenerated 2026-08-19 (round 4): latent_time_invariant=True
+    # became the sv2p default (one z per sequence — the defining SV2P
+    # stochastic structure), changing the posterior output/KL numerics
+    "sv2p": [0.015384564, 0.015828051, 0.015263218, 0.012817921, 0.011558477],
 }
 _ZOO_EXTRA = {
     "dna": {},

@@ -232,6 +232,41 @@ class TestArchVariants:
         assert np.isfinite(float(scalars["g_loss"]))
 
 
+class TestSV2PLatent:
+    def test_time_invariant_latent_is_one_z_per_sequence(self):
+        """latent_time_invariant (the sv2p model-class default): the
+        posterior emits ONE (mu, logvar) per clip, the prior draw is one z
+        per sequence (broadcast internally over the T-1 steps), and the
+        posterior param tree is identical to the per-step one
+        (checkpoints interchange)."""
+        assert get_model_class("sv2p").default_hparams().latent_time_invariant
+        b = batch()
+        m_ti = get_model_class("savp")(hp(nz=4, kl_weight=0.1, latent_time_invariant=True))
+        m_ps = get_model_class("savp")(hp(nz=4, kl_weight=0.1))
+        p_ti, _ = m_ti.init_variables(jax.random.PRNGKey(0), b)
+        p_ps, _ = m_ps.init_variables(jax.random.PRNGKey(0), b)
+        assert jax.tree_util.tree_structure(p_ti["posterior"]) == jax.tree_util.tree_structure(
+            p_ps["posterior"]
+        )
+        step0 = jnp.zeros((), jnp.int32)
+        out = m_ti.forward(p_ti, b, jax.random.PRNGKey(1), step0, train=True)
+        assert out["zs_mu"].shape == (B, 1, 4)
+        assert out["zs_logvar"].shape == (B, 1, 4)
+        # eval path: the prior draw is sequence-level too
+        out_ev = m_ti.forward(p_ti, b, jax.random.PRNGKey(1), step0, train=False)
+        assert out_ev["zs_sampled_prior"].shape == (B, 1, 4)
+        assert out_ev["gen_images"].shape == (B, T - 1, H, W, C)
+        # and it trains
+        ts = create_train_state(m_ti, jax.random.PRNGKey(0), b)
+        step = make_train_step(m_ti, donate=False)
+        ts, scalars = step(ts, b)
+        assert np.isfinite(float(scalars["g_loss"]))
+
+    def test_time_invariant_rejects_learn_prior(self):
+        with pytest.raises(ValueError, match="latent_time_invariant"):
+            get_model_class("savp")(hp(nz=4, latent_time_invariant=True, learn_prior=True))
+
+
 class TestExtendedLosses:
     def test_z_l1_latent_cycle(self):
         model = get_model_class("savp")(hp(nz=4, kl_weight=0.1, z_l1_weight=0.5))

@@ -72,6 +72,15 @@ class ModelHparams:
     nz: int = 8
     nef: int = 64
     learn_prior: bool = False
+    # Time-invariant latent (SV2P, Babaeizadeh et al. 2018): the posterior
+    # encodes the WHOLE clip into ONE (mu, logvar) and a single z is drawn
+    # per sequence and broadcast over all T-1 steps (reference
+    # ``sv2p_model.py``'s defining stochastic structure). False = the SAVP
+    # per-step frame-pair posterior. Incompatible with learn_prior (the
+    # in-cell prior is per-step by construction). Same posterior param
+    # tree either way (the trunk is shared; features are time-averaged
+    # before the mu/logvar heads), so checkpoints interchange.
+    latent_time_invariant: bool = False
     # --- generator architecture (savp_model) ---
     ngf: int = 32
     downsample_layer: str = "conv_pool2d"

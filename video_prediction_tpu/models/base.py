@@ -83,7 +83,22 @@ class VideoPredictionModel:
         dtype = jnp.bfloat16 if hparams.compute_dtype == "bfloat16" else None
         self.dtype = dtype
         self.generator = SAVPGenerator(hparams=hparams, dtype=dtype)
-        self.posterior = PosteriorEncoder(nz=hparams.nz, nef=hparams.nef, dtype=dtype) if hparams.nz > 0 else None
+        if hparams.latent_time_invariant and hparams.learn_prior:
+            raise ValueError(
+                "latent_time_invariant (one z per sequence, SV2P) is "
+                "incompatible with learn_prior (the in-cell prior is "
+                "per-step by construction)"
+            )
+        self.posterior = (
+            PosteriorEncoder(
+                nz=hparams.nz,
+                nef=hparams.nef,
+                time_invariant=hparams.latent_time_invariant,
+                dtype=dtype,
+            )
+            if hparams.nz > 0
+            else None
+        )
         # learn_prior: the LearnedPrior conv net lives INSIDE the generator
         # cell (models/savp.py) so z_t conditions only on frames the rollout
         # actually has — its params are under params["generator"]
@@ -251,10 +266,18 @@ class VideoPredictionModel:
             return out
 
         # --- stochastic path ---
+        # With latent_time_invariant (SV2P) the posterior emits ONE
+        # (mu, logvar) [B, 1, nz] for the whole clip; a single z is drawn
+        # per sequence and broadcast over the T-1 steps below. Latent
+        # stats stay un-broadcast in `out` so the KL/z_l1 losses see the
+        # sequence-level quantities.
         mu_q, logvar_q = self.posterior.apply({"params": params["posterior"]}, images)
         out["zs_mu"], out["zs_logvar"] = mu_q, logvar_q
         eps = jax.random.normal(rng_q, mu_q.shape)
         z_q = mu_q + jnp.exp(0.5 * logvar_q) * eps
+
+        def bz(z):  # broadcast a sequence-level z over all rollout steps
+            return jnp.broadcast_to(z, (b, t - 1, hp.nz)) if z.shape[1] != t - 1 else z
 
         learn_prior = bool(hp.learn_prior)
         if learn_prior:
@@ -289,7 +312,7 @@ class VideoPredictionModel:
                     [jnp.ones((b,), bool), jnp.zeros((b,), bool)], axis=0
                 )
             else:
-                zs2 = jnp.concatenate([z_p, z_q], axis=0)
+                zs2 = jnp.concatenate([bz(z_p), bz(z_q)], axis=0)
             gout = self.generator.apply(
                 {"params": params["generator"]}, images2, use_gt2, zs=zs2, output_aux=output_aux, **kwargs2
             )
@@ -299,7 +322,7 @@ class VideoPredictionModel:
             out["_prior_rollout"] = True
         elif need_post_rollout:
             gout = self.generator.apply(
-                {"params": params["generator"]}, images, use_gt, zs=z_q, output_aux=output_aux, **gen_kwargs
+                {"params": params["generator"]}, images, use_gt, zs=bz(z_q), output_aux=output_aux, **gen_kwargs
             )
             for k, v in gout.items():
                 out[k + "_enc"] = v
@@ -318,7 +341,7 @@ class VideoPredictionModel:
                 )
             else:
                 gout = self.generator.apply(
-                    {"params": params["generator"]}, images, use_gt, zs=z_p, output_aux=output_aux, **gen_kwargs
+                    {"params": params["generator"]}, images, use_gt, zs=bz(z_p), output_aux=output_aux, **gen_kwargs
                 )
             out.update(gout)
             out["_prior_rollout"] = True

@@ -101,7 +101,9 @@ class SV2PVideoPredictionModel(VideoPredictionModel):
     """Babaeizadeh et al. 2018 stochastic variational video prediction.
 
     Reference: ``models/sv2p_model.py#SV2PVideoPredictionModel`` — CDNA
-    generator + latent posterior with KL-annealed ELBO, no adversary.
+    generator + TIME-INVARIANT latent posterior (one z per sequence,
+    encoded from the whole clip — ``latent_time_invariant=True``) with
+    KL-annealed ELBO, no adversary.
     """
 
     name = "sv2p"
@@ -112,6 +114,8 @@ class SV2PVideoPredictionModel(VideoPredictionModel):
             l1_weight=0.0,
             l2_weight=1.0,
             nz=8,
+            latent_time_invariant=True,  # ONE z per sequence — the defining
+            # SV2P stochastic structure (Babaeizadeh et al. 2018 §3)
             kl_weight=1e-3,
             kl_anneal="linear",
             kl_anneal_steps=(100000, 200000),

@@ -137,7 +137,12 @@ class PosteriorEncoder(nn.Module):
     Reference: ``savp_model.py#create_encoder`` / ``encoder_fn`` — a conv
     net over concatenated adjacent frames emitting (mu, logvar) per step.
 
-    Input ``images [B, T, H, W, C]``; output ``(mu, logvar) [B, T-1, nz]``.
+    Input ``images [B, T, H, W, C]``; output ``(mu, logvar) [B, T-1, nz]``
+    — or ``[B, 1, nz]`` with ``time_invariant=True`` (the SV2P semantic,
+    reference ``sv2p_model.py``: ONE latent per sequence, conditioned on
+    the whole clip — realized here by time-averaging the shared trunk's
+    pooled pair features before the mu/logvar heads, so the param tree is
+    identical to the per-step posterior and checkpoints interchange).
     All T-1 pairs are processed as one folded batch (MXU-friendly) instead
     of a per-step loop.
     """
@@ -145,6 +150,7 @@ class PosteriorEncoder(nn.Module):
     nz: int = 8
     nef: int = 64
     n_layers: int = 3
+    time_invariant: bool = False
     dtype: Dtype | None = None
 
     @nn.compact
@@ -160,8 +166,12 @@ class PosteriorEncoder(nn.Module):
             x = nn.GroupNorm(num_groups=None, group_size=1, name=f"norm{i}")(x)
             x = lrelu(x, 0.2)
         x = jnp.mean(x, axis=(1, 2))  # global average pool
-        mu = nn.Dense(self.nz, name="mu")(x).reshape(b, t - 1, self.nz)
-        logvar = nn.Dense(self.nz, name="logvar")(x).reshape(b, t - 1, self.nz)
+        tz = t - 1
+        if self.time_invariant:
+            x = jnp.mean(x.reshape(b, t - 1, -1), axis=1)  # whole-clip features
+            tz = 1
+        mu = nn.Dense(self.nz, name="mu")(x).reshape(b, tz, self.nz)
+        logvar = nn.Dense(self.nz, name="logvar")(x).reshape(b, tz, self.nz)
         return mu.astype(jnp.float32), logvar.astype(jnp.float32)
 
 
