@@ -54,21 +54,27 @@ HEADLINE_BATCH = 16
 BATCHES = (16, 32, 64)
 # scan_unroll=0 fully unrolls the T-1 time loop: XLA fuses/pipelines across
 # timesteps — measured 1.71x at batch 16 and 1.33x at batch 32 (honest
-# clock). At batch 64 the fully-unrolled CSE'd graph OOMs HBM (measured
-# 16.38G of 15.75G — the r3 "HTTP 500" re-diagnosis; the compile helper
-# reports real errors in the 500 body); unroll=6 is the best compiling
-# point there (897 vs 861 frames/s rolled; unroll=8 measured 814).
-UNROLL = {16: 0, 32: 0, 64: 6}
+# clock). With fp32 gate math the fully-unrolled CSE'd graph OOMs HBM past
+# ~batch 48 (measured 16.38G of 15.75G at 64 — the r3 "HTTP 500"
+# re-diagnosis); bf16 gate math (below) halves the dominant gate-temp
+# term and batch 64 fits fully unrolled (r4) — 96/128 still OOM
+# (21.5G/22.4G), so 64 is the regime's boundary AND its best point.
+UNROLL = {16: 0, 32: 0, 64: 0}
 # ConvLSTM gate-conv layout per operating point (measured, see
-# ARCHITECTURE.md): "merged" wins when the scan is fully unrolled
-# (253 vs 256 ms at batch 16), "split" wins in the rolled remat regime
-# (713 vs 746 ms at batch 64).
+# ARCHITECTURE.md): "merged" wins the unrolled 16/32 points (253 vs 256
+# ms at batch 16), "split" edges it at the unrolled bf16-gate batch-64
+# point (550 vs 556 ms).
 GATE_CONV = {16: "merged", 32: "merged", 64: "split"}
-# Per-row remat-CSE-barrier and gate-math-dtype overrides (the r4 perf
-# campaign levers); empty entries take the hparam defaults (CSE'd where
-# the unrolled graph fits, fp32 gate math).
+# Per-row remat-CSE-barrier overrides; prevent_cse measured strictly
+# slower everywhere it compiles (847/829 f/s at 64:0 fp32 vs 1164 CSE'd
+# bf16), so no row sets it.
 PREVENT_CSE: dict[int, bool] = {}
-GATE_DTYPE: dict[int, str] = {}
+# bf16 ConvLSTM gate math (r4): +9% at batch 16, +15% at 32, +30% at 64
+# (and unlocks full unroll there). Convergence A/B-verified on the full
+# CLI path (600-step synthetic SAVP VAE-GAN, same seed: loss
+# trajectories and eval PSNR/SSIM track fp32 — see ARCHITECTURE.md r4
+# notes); the repo-wide DEFAULT stays fp32 (golden-pinned).
+GATE_DTYPE = {16: "bfloat16", 32: "bfloat16", 64: "bfloat16"}
 
 # peak dense bf16 FLOPS per chip by PJRT device_kind (public spec sheets);
 # unknown kinds report mfu=None rather than a made-up number
