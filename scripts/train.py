@@ -59,6 +59,16 @@ def parse_args(argv=None):
         "Training may overshoot max_steps by up to K-1 steps when it is "
         "not a multiple of K",
     )
+    p.add_argument(
+        "--spatial_shards",
+        type=int,
+        default=1,
+        help="shard image HEIGHT over this many devices (the mesh's second "
+        "axis): spatial partitioning via GSPMD halo exchange. Divides "
+        "per-device activation memory — lets the fast fully-unrolled scan "
+        "regime fit at batch sizes / resolutions that OOM one chip. The "
+        "remaining devices form the data axis",
+    )
     p.add_argument("--no_tensorboard", action="store_true")
     p.add_argument("--profile_steps", default="", help="'start,stop' steps for jax.profiler trace")
     return p.parse_args(argv)
@@ -143,9 +153,12 @@ def main(argv=None):
             json.dump(dhp.to_dict(), f, indent=2)
 
     # ---- mesh + state ----
-    mesh = mesh_for_batch(hp.batch_size)
+    mesh = mesh_for_batch(hp.batch_size, spatial=args.spatial_shards)
     n_data = mesh.shape["data"]
-    print(f"devices: {jax.device_count()} ({jax.devices()[0].platform}), mesh data axis: {n_data}")
+    print(
+        f"devices: {jax.device_count()} ({jax.devices()[0].platform}), "
+        f"mesh data axis: {n_data}, spatial axis: {mesh.shape['model']}"
+    )
 
     spc = max(1, args.steps_per_call)
     # multi-host: each process feeds per_host_batch examples; the feeder
@@ -155,6 +168,11 @@ def main(argv=None):
     local_bs = per_host_batch(hp.batch_size)
     host_iter = train_data.make_iterator(local_bs)
     init_example = next(host_iter)
+    if mesh.shape["model"] > 1:
+        from video_prediction_tpu.parallel.mesh import validate_spatial_mesh
+
+        img_shape = init_example["images"].shape
+        validate_spatial_mesh(mesh, img_shape[-3], img_shape[-2])
     train_iter = DeviceFeeder(
         itertools.chain([init_example], host_iter), mesh=mesh, stack=spc
     )

@@ -253,6 +253,82 @@ class TestDataParallel:
             np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-5)
 
 
+class TestSpatialParallel:
+    """Spatial partitioning: image height sharded over the mesh's ``model``
+    axis (GSPMD halo exchange). Parity vs the single-device step proves the
+    sharding is a layout, not a math change — including the data-only
+    re-constraint of the disc/posterior subnetworks (parallel/mesh.py
+    documents the degenerate-shard GSPMD corner that re-constraint avoids).
+    """
+
+    def _full_model(self):
+        return get_model_class("savp")(
+            tiny_hparams(
+                nz=4,
+                kl_weight=0.01,
+                video_sn_gan_weight=0.1,
+                image_sn_gan_weight=0.1,
+                beta1=0.5,
+                schedule_sampling="none",
+            )
+        )
+
+    def test_spatial_train_matches_single_device(self):
+        assert jax.device_count() >= 4, "conftest must provide >=4 virtual devices"
+        model = self._full_model()
+        batch = make_batch(batch=4)
+        ts0 = create_train_state(model, jax.random.PRNGKey(0), batch)
+
+        step_single = make_train_step(model, donate=False)
+        ts1, s1 = step_single(ts0, batch)
+
+        mesh = make_mesh(jax.devices()[:4], model_parallel=2)
+        step_mesh = make_train_step(model, mesh=mesh, donate=False)
+        sharded = shard_batch(batch, mesh)
+        # the feed itself must shard H over the model axis
+        assert "model" in str(sharded["images"].sharding.spec)
+        ts2, s2 = step_mesh(ts0, sharded)
+
+        # losses computed identically (the GAN/VAE paths run data-parallel
+        # re-constrained; the generator is spatially sharded)
+        assert float(s1["g_loss"]) == pytest.approx(float(s2["g_loss"]), rel=1e-5)
+        assert float(s1["d_loss"]) == pytest.approx(float(s2["d_loss"]), rel=1e-5)
+        p1 = jax.tree_util.tree_leaves(ts1.params)
+        p2 = jax.tree_util.tree_leaves(ts2.params)
+        for a, b in zip(p1, p2):
+            # Adam normalizes near-zero gradients to +-lr, amplifying float
+            # reassociation noise; 5e-5 is a few lr-quanta at lr=1e-3
+            np.testing.assert_allclose(np.array(a), np.array(b), atol=5e-5)
+
+    def test_spatial_eval_matches_single_device(self):
+        model = self._full_model()
+        batch = make_batch(batch=4)
+        params, _ = model.init_variables(jax.random.PRNGKey(0), batch)
+
+        ev1 = make_eval_step(model)
+        g1, m1 = ev1(params, batch, jax.random.PRNGKey(3))
+
+        mesh = make_mesh(jax.devices()[:4], model_parallel=2)
+        ev2 = make_eval_step(model, mesh=mesh)
+        g2, m2 = ev2(params, shard_batch(batch, mesh), jax.random.PRNGKey(3))
+        np.testing.assert_allclose(np.array(g1), np.array(g2), atol=1e-5)
+        assert float(m1["psnr"]) == pytest.approx(float(m2["psnr"]), rel=1e-5)
+
+    def test_low_dim_leaves_stay_batch_sharded(self):
+        from video_prediction_tpu.parallel import leaf_spec
+
+        # images get the spatial axis; low-dim leaves don't; stacked feeds
+        # keep the leading steps axis unsharded
+        assert leaf_spec("images", 5, spatial=True) == jax.sharding.PartitionSpec(
+            "data", None, "model"
+        )
+        assert leaf_spec("actions", 3, spatial=True) == jax.sharding.PartitionSpec("data")
+        assert leaf_spec("images", 6, spatial=True, stacked=True) == jax.sharding.PartitionSpec(
+            None, "data", None, "model"
+        )
+        assert leaf_spec("images", 5, spatial=False) == jax.sharding.PartitionSpec("data")
+
+
 class TestScanUnroll:
     def test_full_unroll_matches_rolled(self):
         """scan_unroll=0 (full time-loop unroll, the fast TPU path) is a

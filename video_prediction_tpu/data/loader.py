@@ -17,7 +17,7 @@ from typing import Any, Dict, Iterator, Optional
 import jax
 from jax.sharding import Mesh
 
-from video_prediction_tpu.parallel.mesh import batch_sharding
+from video_prediction_tpu.parallel.mesh import batch_shardings
 
 
 class DeviceFeeder:
@@ -39,10 +39,9 @@ class DeviceFeeder:
         # size-1 mesh: plain device_put (NamedSharding adds no information
         # and keeps arrays off the backend's pathologically slow
         # annotated-arg path; see train/step.py)
-        if mesh is not None and mesh.size > 1:
-            self._sharding = batch_sharding(mesh, stacked=stack > 1)
-        else:
-            self._sharding = None
+        self._mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        self._stacked = stack > 1
+        self._shardings = None  # per-key, resolved from the first batch
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._err: Optional[BaseException] = None
         self._stop = threading.Event()
@@ -55,23 +54,31 @@ class DeviceFeeder:
             for batch in self._it:
                 if self._stop.is_set():
                     return
-                if self._sharding is not None:
+                if self._mesh is not None:
+                    if self._shardings is None:
+                        # per-key shardings (image height additionally rides
+                        # the mesh's ``model`` axis when it is real —
+                        # spatial partitioning, parallel/mesh.py)
+                        self._shardings = batch_shardings(
+                            batch, self._mesh, stacked=self._stacked
+                        )
                     if multi_host:
                         # each process feeds only its LOCAL shard (the host
                         # iterator yields per_host_batch examples); this
                         # assembles the global array across hosts —
                         # device_put with a global sharding would reject
                         # non-addressable devices
-                        batch = jax.tree_util.tree_map(
-                            lambda x: jax.make_array_from_process_local_data(
-                                self._sharding, x
-                            ),
-                            batch,
-                        )
+                        batch = {
+                            k: jax.make_array_from_process_local_data(
+                                self._shardings[k], v
+                            )
+                            for k, v in batch.items()
+                        }
                     else:
-                        batch = jax.tree_util.tree_map(
-                            lambda x: jax.device_put(x, self._sharding), batch
-                        )
+                        batch = {
+                            k: jax.device_put(v, self._shardings[k])
+                            for k, v in batch.items()
+                        }
                 else:
                     batch = jax.tree_util.tree_map(jax.device_put, batch)
                 self._q.put(batch)

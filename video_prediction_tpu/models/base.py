@@ -31,6 +31,7 @@ from flax import linen as nn
 from video_prediction_tpu import losses as L
 from video_prediction_tpu import metrics as M
 from video_prediction_tpu.configs.hparams import ModelHparams
+from video_prediction_tpu.parallel.mesh import constrain_data_parallel
 from video_prediction_tpu.models.networks import (
     ACVideoSNDiscriminator,
     ImageSNDiscriminator,
@@ -271,7 +272,12 @@ class VideoPredictionModel:
         # per sequence and broadcast over the T-1 steps below. Latent
         # stats stay un-broadcast in `out` so the KL/z_l1 losses see the
         # sequence-level quantities.
-        mu_q, logvar_q = self.posterior.apply({"params": params["posterior"]}, images)
+        # Under a spatial mesh the posterior runs data-parallel-only (its
+        # strided convs reduce to degenerate per-shard extents; see
+        # parallel/mesh.py) — a no-op otherwise.
+        mu_q, logvar_q = self.posterior.apply(
+            {"params": params["posterior"]}, constrain_data_parallel(images)
+        )
         out["zs_mu"], out["zs_logvar"] = mu_q, logvar_q
         eps = jax.random.normal(rng_q, mu_q.shape)
         z_q = mu_q + jnp.exp(0.5 * logvar_q) * eps
@@ -457,7 +463,9 @@ class VideoPredictionModel:
             # Re-encode adjacent generated frames (first frame = GT frame 0)
             # with the posterior and L1 against the z that generated them.
             gen_seq = jnp.concatenate([batch["images"][:, :1], out["gen_images"]], axis=1)
-            mu_hat, _ = self.posterior.apply({"params": params["posterior"]}, gen_seq)
+            mu_hat, _ = self.posterior.apply(
+                {"params": params["posterior"]}, constrain_data_parallel(gen_seq)
+            )
             g_losses["z_l1"] = hp.z_l1_weight * L.l1_loss(mu_hat, out["zs_sampled_prior"])
 
         new_spectral = dict(state.get("spectral", {}))
@@ -465,14 +473,18 @@ class VideoPredictionModel:
             tm1 = target.shape[1]
             clip_len = min(hp.clip_length, tm1)
             start = jax.random.randint(rng_clip, (), 0, tm1 - clip_len + 1)
-            real_clip = self._clip(target, start)
+            # discs run data-parallel-only under a spatial mesh (no-op
+            # otherwise): their stride-2 chains reach degenerate per-shard
+            # extents where GSPMD miscompiles fused SN kernels (measured,
+            # parallel/mesh.py), and they are a small slice of step time
+            real_clip = constrain_data_parallel(self._clip(target, start))
 
             sg = jax.lax.stop_gradient
             params_d_sg = jax.tree_util.tree_map(sg, params["discriminator"])
 
             def run_pair(dname: str, key: str, fake_frames: jax.Array, weight: float, prefix: str):
                 """real/fake D losses + generator GAN loss for one disc."""
-                fake_clip = self._clip(fake_frames, start)
+                fake_clip = constrain_data_parallel(self._clip(fake_frames, start))
                 extra = ()
                 if dname == "acvideo":
                     action_clip = self._clip(self._transition_actions(batch), start)

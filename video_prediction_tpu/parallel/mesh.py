@@ -1,15 +1,27 @@
-"""Device mesh + sharding helpers: the data-parallel layer.
+"""Device mesh + sharding helpers: the data-parallel + spatial layer.
 
 This module *replaces* the reference's entire multi-GPU tower subsystem
 (``base_model.py`` tower split + ``utils/tf_utils.py#
 compute_averaged_gradients`` + ``local_device_setter``): we shard the batch
 over a ``data`` mesh axis, keep params replicated, and let XLA compile the
-gradient all-reduce as a ``psum`` over ICI. A ``model`` axis is reserved for
-future tensor parallelism (unused at this model scale, mesh size 1).
+gradient all-reduce as a ``psum`` over ICI.
+
+The second mesh axis (``model``) optionally carries **spatial
+partitioning**: image height is sharded over it (``P("data", None,
+"model")`` on ``[B, T, H, W, C]``) and GSPMD inserts the halo exchanges
+the convolutions need. The reference has no analog (its activations must
+fit one GPU); here SP divides per-device activation HBM, which is exactly
+the resource that caps the fast fully-unrolled scan regime at large
+batch/resolution (the measured batch-64 16.38 GiB OOM wall,
+ARCHITECTURE.md). Low-dim leaves (actions/states) have no spatial dim and
+stay batch-sharded only — the split is keyed on the batch-dict key, not
+rank, so stacked multi-step feeds keep working.
 """
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Any, Dict, Optional, Sequence
 
 import jax
@@ -31,14 +43,27 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None, model_parallel: in
     return Mesh(arr, ("data", "model"))
 
 
-def mesh_for_batch(batch_size: int, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+def mesh_for_batch(
+    batch_size: int,
+    devices: Optional[Sequence[jax.Device]] = None,
+    spatial: int = 1,
+) -> Mesh:
     """Largest data-parallel mesh whose size divides ``batch_size``.
 
     Small debug batches then use fewer devices instead of erroring; full
-    batches use the whole slice.
+    batches use the whole slice. ``spatial=k`` reserves a k-device
+    ``model`` axis for spatial partitioning (image height sharded over
+    it); the data axis then uses the remaining device budget.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    if spatial > 1:
+        if n % spatial:
+            raise ValueError(f"{n} devices not divisible by spatial_shards={spatial}")
+        d = n // spatial
+        while d > 1 and batch_size % d:
+            d -= 1
+        return make_mesh(devices[: d * spatial], model_parallel=spatial)
     while n > 1 and batch_size % n:
         n -= 1
     return make_mesh(devices[:n])
@@ -50,19 +75,114 @@ def batch_sharding(mesh: Mesh, stacked: bool = False) -> NamedSharding:
     return NamedSharding(mesh, P(None, "data") if stacked else P("data"))
 
 
+def spatial_mesh(mesh: Mesh) -> bool:
+    """True when the mesh's ``model`` axis is real (>1) — i.e. image
+    height should be spatially sharded over it."""
+    return mesh.shape.get("model", 1) > 1
+
+
+def leaf_spec(key: str, ndim: int, *, spatial: bool, stacked: bool = False) -> P:
+    """PartitionSpec for one batch-dict leaf.
+
+    ``images [B,T,H,W,C]`` additionally shard H over ``model`` when
+    ``spatial``; low-dim leaves (actions/states, no spatial dims) are
+    batch-sharded only. ``stacked`` prepends the unsharded ``[K]``
+    steps axis."""
+    lead = (None,) if stacked else ()
+    if spatial and key == "images" and ndim - len(lead) >= 4:
+        return P(*lead, "data", None, "model")
+    return P(*lead, "data")
+
+
+def batch_shardings(
+    batch: Dict[str, Any], mesh: Mesh, stacked: bool = False
+) -> Dict[str, NamedSharding]:
+    """Per-key NamedShardings for a batch dict (spatial-aware)."""
+    sp = spatial_mesh(mesh)
+    return {
+        k: NamedSharding(mesh, leaf_spec(k, v.ndim, spatial=sp, stacked=stacked))
+        for k, v in batch.items()
+    }
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def validate_spatial_mesh(mesh: Mesh, height: int, width: int) -> None:
+    """Reject spatial-shard factors that would degenerate the generator's
+    bottleneck: per-shard extent at the deepest scale must cover the 5x5
+    ConvLSTM kernels (>=4 rows; parity verified down to exactly 4 —
+    tests/test_model_train.py::TestSpatialParallel). 64/128px inputs
+    (bottleneck 8) therefore support spatial_shards<=2; 256px <=4."""
+    k = mesh.shape.get("model", 1)
+    if k <= 1:
+        return
+    size = min(height, width)
+    # mirrors models/savp.py#SAVPGenerator scale selection
+    num_scales = max(1, min(4, (size.bit_length() - 1) - 3))
+    bottleneck = size >> num_scales
+    if bottleneck % k or bottleneck // k < 4:
+        raise ValueError(
+            f"spatial_shards={k} over {height}x{width} inputs leaves "
+            f"{bottleneck / k:g} rows per shard at the {bottleneck}px "
+            f"bottleneck (< 4, the validated minimum for the 5x5 ConvLSTM "
+            f"kernels); use a smaller --spatial_shards"
+        )
+
+
+# ---------------------------------------------------------------------- #
+# Spatial-partitioning trace context
+# ---------------------------------------------------------------------- #
+# Model code is mesh-agnostic; the few places that must OPT OUT of spatial
+# sharding (small-extent subnetworks) call ``constrain_data_parallel``,
+# which is a no-op unless the train/eval step is being traced under
+# ``spatial_trace_mesh``. Why opting out matters: per-shard spatial extents
+# below the kernel size are a degenerate GSPMD corner — measured on
+# XLA:CPU, a k=4 stride-2 conv whose kernel is a fused computed value
+# (spectral norm's ``w / sigma``) MISCOMPILES when per-shard H < k (output
+# off by O(1), not reassociation noise; plain-kernel or s=1 or k=3 cases
+# are exact). The discriminators/posterior reduce to 4x4 maps where shards
+# degenerate AND they are a small slice of step time, so they run
+# data-parallel-only; the generator — 84% of device time and the
+# activation-memory hog SP exists for — stays spatially sharded at extents
+# that never degenerate (train.py guards the bottleneck extent).
+_SPATIAL_TRACE_MESH: contextvars.ContextVar[Optional[Mesh]] = contextvars.ContextVar(
+    "vp_spatial_trace_mesh", default=None
+)
+
+
+@contextlib.contextmanager
+def spatial_trace_mesh(mesh: Optional[Mesh]):
+    """Mark a tracing region as targeting a spatial mesh (train/step.py)."""
+    token = _SPATIAL_TRACE_MESH.set(mesh if (mesh is not None and spatial_mesh(mesh)) else None)
+    try:
+        yield
+    finally:
+        _SPATIAL_TRACE_MESH.reset(token)
+
+
+def constrain_data_parallel(x: jax.Array) -> jax.Array:
+    """Re-shard ``x`` to batch-dim-only data parallelism when tracing under
+    a spatial mesh; identity otherwise (single-device, DP-only, eval)."""
+    mesh = _SPATIAL_TRACE_MESH.get()
+    if mesh is None or x.ndim == 0:
+        return x
+    spec = P(*(("data",) + (None,) * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Shard a host batch with the leading dim over ``data``.
+    """Shard a host batch with the leading dim over ``data`` (and image
+    height over ``model`` when the mesh's second axis is real).
 
     Multi-host: ``batch`` is this process's LOCAL shard (``per_host_batch``
     examples) and the global array is assembled across hosts; single-host:
     a plain sharded device_put."""
-    sh = batch_sharding(mesh)
+    shs = batch_shardings(batch, mesh)
     if jax.process_count() > 1:
-        return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(sh, x), batch
-        )
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+        return {
+            k: jax.make_array_from_process_local_data(shs[k], v)
+            for k, v in batch.items()
+        }
+    return {k: jax.device_put(v, shs[k]) for k, v in batch.items()}

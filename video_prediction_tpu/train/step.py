@@ -17,6 +17,12 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from video_prediction_tpu.parallel.mesh import (
+    batch_shardings,
+    leaf_spec,
+    spatial_mesh,
+    spatial_trace_mesh,
+)
 from video_prediction_tpu.train.state import TrainState, make_optimizers, split_params
 
 
@@ -101,6 +107,12 @@ def make_train_step(
         return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
     repl = NamedSharding(mesh, P())
+    if spatial_mesh(mesh):
+        # Spatial partitioning: image height rides the ``model`` axis while
+        # low-dim leaves stay batch-sharded — per-KEY shardings, so the jit
+        # is built lazily from the first batch's structure. GSPMD inserts
+        # the conv halo exchanges; params/state stay replicated.
+        return _lazy_spatial_jit(fn, mesh, repl, donate, stacked=steps_per_call > 1)
     data = NamedSharding(mesh, batch_spec)
     return jax.jit(
         fn,
@@ -108,6 +120,43 @@ def make_train_step(
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
     )
+
+
+def _lazy_spatial_jit(fn, mesh: Mesh, repl, donate: bool, stacked: bool, out_data: str = ""):
+    """jit ``fn(state_like, batch_dict)`` with per-key batch in_shardings
+    resolved from the first call's batch (spatial meshes only — the
+    data-parallel path keeps its eagerly-built single-spec jit).
+
+    ``out_data`` names an output slot to shard like an image batch (the
+    eval step's generated frames); default both outputs replicated."""
+    cache: Dict[Any, Any] = {}
+
+    def traced(state_like, batch, *rest):
+        # runs at TRACE time only: lets model code re-shard degenerate
+        # small-extent subnetworks (disc/posterior) back to data-only via
+        # parallel.mesh.constrain_data_parallel
+        with spatial_trace_mesh(mesh):
+            return fn(state_like, batch, *rest)
+
+    def call(state_like, batch, *rest):
+        key = tuple(sorted((k, v.ndim) for k, v in batch.items()))
+        if key not in cache:
+            specs = batch_shardings(batch, mesh, stacked=stacked)
+            out_sh = (
+                (NamedSharding(mesh, leaf_spec("images", 5, spatial=True)), repl)
+                if out_data
+                else (repl, repl)
+            )
+            in_sh = (repl, specs) + (repl,) * len(rest)
+            cache[key] = jax.jit(
+                traced,
+                in_shardings=in_sh,
+                out_shardings=out_sh,
+                donate_argnums=(0,) if donate else (),
+            )
+        return cache[key](state_like, batch, *rest)
+
+    return call
 
 
 def make_eval_step(model, mesh: Optional[Mesh] = None):
@@ -121,6 +170,10 @@ def make_eval_step(model, mesh: Optional[Mesh] = None):
     if mesh is None or mesh.size == 1:
         return jax.jit(eval_step)
     repl = NamedSharding(mesh, P())
+    if spatial_mesh(mesh):
+        return _lazy_spatial_jit(
+            eval_step, mesh, repl, donate=False, stacked=False, out_data="images"
+        )
     data = NamedSharding(mesh, P("data"))
     return jax.jit(
         eval_step,
