@@ -44,6 +44,7 @@ def probe(
     rounds: int = 2,
     prevent_cse: bool = False,
     gate_dtype: str = "float32",
+    extra_hparams: str = "",
 ) -> dict:
     """Measure sustained sec/step; returns a dict of the result row.
 
@@ -65,6 +66,7 @@ def probe(
         gate_dtype=gate_dtype,
         sequence_length=sequence_length,
         context_frames=context_frames,
+        extra=extra_hparams,
     )
     model = get_model_class("savp")(hp)
     batch = synthetic_batch(batch_size, sequence_length, size)
@@ -107,6 +109,12 @@ def main() -> None:
         "CSE'd bf16-gate regime, 1152 f/s)",
     )
     p.add_argument(
+        "--hparams",
+        default="",
+        help="extra k=v,... ModelHparams overrides for ad-hoc levers "
+        "(e.g. disc_conv3d_taps=True)",
+    )
+    p.add_argument(
         "--gate_dtype",
         choices=("float32", "bfloat16"),
         default="float32",
@@ -128,11 +136,13 @@ def main() -> None:
         size=args.size,
         prevent_cse=args.prevent_cse,
         gate_dtype=args.gate_dtype,
+        extra_hparams=args.hparams,
     )
     r["prevent_cse"] = args.prevent_cse
+    r["hparams"] = args.hparams
     print(
         "RESULT batch={batch} unroll={unroll} gate={gate} prevent_cse={prevent_cse} "
-        "gate_dtype={gate_dtype} "
+        "gate_dtype={gate_dtype} hparams={hparams!r} "
         "ms_per_step={ms_per_step:.1f} frames_per_sec={frames_per_sec:.1f} "
         "compile_s={compile_s:.0f} g_loss={g_loss:.4f}".format(**r),
         flush=True,

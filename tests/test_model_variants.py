@@ -390,6 +390,23 @@ class TestImageDiscriminatorAndPrior:
         assert results[0][0] == pytest.approx(results[1][0], rel=1e-6)
         np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-6)
 
+    def test_disc_conv3d_taps_matches_direct(self):
+        """``disc_conv3d_taps`` swaps the video-disc conv3d lowering for
+        the time-tap summed-conv2d decomposition — same param tree, same
+        math; one train step must match the direct form numerically."""
+        b = batch()
+        results = []
+        for taps in (False, True):
+            model = get_model_class("savp")(
+                hp(video_sn_gan_weight=0.1, disc_conv3d_taps=taps)
+            )
+            ts = create_train_state(model, jax.random.PRNGKey(0), b)
+            step = make_train_step(model, donate=False)
+            ts, scalars = step(ts, b)
+            results.append((float(scalars["g_loss"]), float(scalars["d_loss"])))
+        assert results[0][0] == pytest.approx(results[1][0], abs=1e-5)
+        assert results[0][1] == pytest.approx(results[1][1], abs=1e-5)
+
     def test_context_images_background(self):
         model = get_model_class("savp")(hp(context_images_background=True))
         b = batch()

@@ -36,11 +36,19 @@ def savp_bench_hparams(
     gate_dtype: str = "float32",
     sequence_length: int = SEQ_LEN,
     context_frames: int = CONTEXT,
+    extra: str = "",
 ):
-    """The canonical benchmark ModelHparams: full SAVP, bf16 compute."""
-    from video_prediction_tpu.configs.hparams import ModelHparams
+    """The canonical benchmark ModelHparams: full SAVP, bf16 compute.
 
-    return ModelHparams(
+    ``extra`` is a ``k=v,...`` override string for probing levers the
+    named arguments don't cover (e.g. ``disc_conv3d_taps=True``)."""
+    from video_prediction_tpu.configs.hparams import (
+        ModelHparams,
+        apply_overrides,
+        parse_overrides,
+    )
+
+    hp = ModelHparams(
         context_frames=context_frames,
         sequence_length=sequence_length,
         batch_size=batch_size,
@@ -60,6 +68,9 @@ def savp_bench_hparams(
         remat_prevent_cse=prevent_cse,
         gate_dtype=gate_dtype,
     )
+    if extra:
+        hp = apply_overrides(hp, parse_overrides(extra))
+    return hp
 
 
 def synthetic_batch(batch_size: int, sequence_length: int = SEQ_LEN, size: int = SIZE):

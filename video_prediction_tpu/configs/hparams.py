@@ -164,6 +164,15 @@ class ModelHparams:
     # gate-conv temps) — a measured A/B lever for the perf campaign.
     # Cell carries (c, h) and LN params stay as before in both modes.
     gate_dtype: str = "float32"  # float32 | bfloat16
+    # Video-discriminator conv3d formulation: False = direct conv3d (the
+    # measured default); True = kt time-shifted batched 2-D convs
+    # (ops/spectral.py#_conv3d_as_time_taps, mathematically identical,
+    # same param tree). Exists because the disc conv3ds are the worst
+    # conv bucket of the batch-64 trace (33% MXU) — an A/B lever that is
+    # re-measured per operating point, not assumed. Measured: direct
+    # conv3d wins at batch 16 (+26 ms for taps, r3) AND at the r4
+    # batch-64 winner point (737.5 vs 550 ms/step) — keep False.
+    disc_conv3d_taps: bool = False
 
     def replace(self, **kw) -> "ModelHparams":
         return dataclasses.replace(self, **kw)

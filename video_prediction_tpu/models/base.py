@@ -108,9 +108,13 @@ class VideoPredictionModel:
         if hp.image_sn_gan_weight or hp.image_sn_vae_gan_weight:
             self.discriminators["image"] = ImageSNDiscriminator(ndf=hp.ndf, dtype=dtype)
         if hp.video_sn_gan_weight or hp.video_sn_vae_gan_weight:
-            self.discriminators["video"] = VideoSNDiscriminator(ndf=hp.ndf, dtype=dtype)
+            self.discriminators["video"] = VideoSNDiscriminator(
+                ndf=hp.ndf, dtype=dtype, conv3d_taps=hp.disc_conv3d_taps
+            )
         if hp.acvideo_sn_gan_weight or hp.acvideo_sn_vae_gan_weight:
-            self.discriminators["acvideo"] = ACVideoSNDiscriminator(ndf=hp.ndf, dtype=dtype)
+            self.discriminators["acvideo"] = ACVideoSNDiscriminator(
+                ndf=hp.ndf, dtype=dtype, conv3d_taps=hp.disc_conv3d_taps
+            )
         self.vgg = None
         if hp.vgg_cdist_weight:
             # training-time perceptual loss needs real VGG weights

@@ -66,6 +66,7 @@ class VideoSNDiscriminator(nn.Module):
 
     ndf: int = 64
     dtype: Dtype | None = None
+    conv3d_taps: bool = False  # time-tap 2-D decomposition (ops/spectral.py)
 
     @nn.compact
     def __call__(self, clips: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
@@ -80,7 +81,9 @@ class VideoSNDiscriminator(nn.Module):
             (self.ndf * 4, (3, 4, 4), (2, 2, 2)),
         ]
         for i, (f, k, s) in enumerate(spec):
-            x = SpectralConv3D(f, k, s, dtype=self.dtype, name=f"sn_conv3d{i}")(x)
+            x = SpectralConv3D(
+                f, k, s, dtype=self.dtype, use_taps=self.conv3d_taps, name=f"sn_conv3d{i}"
+            )(x)
             x = lrelu(x, 0.1)
             feats.append(x)
         x = x.reshape(x.shape[0], -1)
@@ -103,6 +106,7 @@ class ACVideoSNDiscriminator(nn.Module):
 
     ndf: int = 64
     dtype: Dtype | None = None
+    conv3d_taps: bool = False  # time-tap 2-D decomposition (ops/spectral.py)
 
     @nn.compact
     def __call__(self, clips: jax.Array, actions: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
@@ -123,7 +127,9 @@ class ACVideoSNDiscriminator(nn.Module):
             (self.ndf * 4, (3, 4, 4), (2, 2, 2)),
         ]
         for i, (f, k, s) in enumerate(spec):
-            x = SpectralConv3D(f, k, s, dtype=self.dtype, name=f"sn_conv3d{i}")(x)
+            x = SpectralConv3D(
+                f, k, s, dtype=self.dtype, use_taps=self.conv3d_taps, name=f"sn_conv3d{i}"
+            )(x)
             x = lrelu(x, 0.1)
             feats.append(x)
         x = x.reshape(x.shape[0], -1)

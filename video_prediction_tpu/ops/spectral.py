@@ -140,6 +140,7 @@ class SpectralConv3D(nn.Module):
     padding: str = "SAME"
     n_iters: int = 1
     dtype: Dtype | None = None
+    use_taps: bool = False  # time-tap 2-D decomposition (same param tree)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -147,18 +148,27 @@ class SpectralConv3D(nn.Module):
         ks = tuple(self.kernel_size)
         w = _SpectralKernel(ks + (in_features, self.features), self.n_iters)()
         dtype = self.dtype or x.dtype
-        # Direct 3-D conv. Measured dead end (round 3, don't retry): the
-        # batched-2D time-tap decomposition below (_conv3d_as_time_taps)
-        # is mathematically identical but +26 ms/step on the full SAVP
-        # batch-16 train step (279 vs 253 ms) — XLA:TPU's conv3d lowering
-        # beats the strided-slice + reshape + summed-conv2d formulation.
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            w.astype(dtype),
-            window_strides=tuple(self.strides),
-            padding=self.padding,
-            dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
-        )
+        # Direct 3-D conv by default. The batched-2D time-tap
+        # decomposition (_conv3d_as_time_taps) is mathematically
+        # identical but measured SLOWER at both probed operating points
+        # (+26 ms/step at batch 16 unroll 0, r3; 737.5 vs 550 ms/step at
+        # the r4 batch-64 bf16-gate winner) even though the disc conv3ds
+        # profile at only 33% MXU there — XLA:TPU's conv3d lowering beats
+        # the strided-slice + reshape + summed-conv2d form. ``use_taps``
+        # keeps it switchable (``disc_conv3d_taps`` hparam) so future
+        # operating points can re-A/B it in one probe flag.
+        if self.use_taps:
+            y = _conv3d_as_time_taps(
+                x.astype(dtype), w.astype(dtype), tuple(self.strides), self.padding
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype),
+                w.astype(dtype),
+                window_strides=tuple(self.strides),
+                padding=self.padding,
+                dimension_numbers=("NTHWC", "THWIO", "NTHWC"),
+            )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + b.astype(y.dtype)
