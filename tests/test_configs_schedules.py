@@ -47,6 +47,43 @@ class TestOverrides:
         assert parse_overrides("") == {}
 
 
+class TestEnumValidation:
+    """Unknown enum-valued hparams must raise at construction, not fall
+    back silently (a gate_dtype typo would quietly run fp32 gates and
+    poison an A/B probe — r4 advisor finding)."""
+
+    @pytest.mark.parametrize(
+        "field,bad",
+        [
+            ("gate_dtype", "bf16"),
+            ("compute_dtype", "bfloat"),
+            ("lstm_gate_conv", "fused"),
+            ("gan_loss_type", "lsgan"),
+            ("schedule_sampling", "sigmoid"),
+            ("transformation", "CDNA"),
+            ("where_add", "everywhere"),
+            ("kl_anneal", "cosine"),
+            ("remat_policy", "selective"),
+            ("conv_rnn", "rnn"),
+            ("kernel_normalization", "norm"),
+        ],
+    )
+    def test_bad_value_raises(self, field, bad):
+        with pytest.raises(ValueError, match=field):
+            ModelHparams(**{field: bad})
+        with pytest.raises(ValueError, match=field):
+            ModelHparams().replace(**{field: bad})
+
+    def test_good_values_pass(self):
+        hp = ModelHparams(gate_dtype="bfloat16", compute_dtype="bfloat16",
+                          lstm_gate_conv="merged", gan_loss_type="hinge",
+                          schedule_sampling="always", transformation="flow",
+                          where_add="middle", kl_anneal="sigmoid",
+                          remat_policy="names", conv_rnn="gru",
+                          kernel_normalization="relu")
+        assert hp.to_dict()["gate_dtype"] == "bfloat16"
+
+
 class TestZoo:
     def test_all_zoo_files_parse_against_model_hparams(self):
         files = glob.glob(os.path.join(REPO, "hparams", "*", "*", "model_hparams.json"))

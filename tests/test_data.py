@@ -227,7 +227,10 @@ class TestDeviceFeeder:
 
 
 class TestTimeShift:
-    def test_stride_subsampling(self, tmp_path):
+    """time_shift quantizes the start offset of a CONTIGUOUS window
+    (reference slice_sequences); it is NOT a subsample stride."""
+
+    def test_eval_contiguous_from_zero(self, tmp_path):
         d = tmp_path / "bair2" / "train"
         d.mkdir(parents=True)
         truth = write_bair_fixture(str(d / "t.tfrecord"), num_examples=1)
@@ -236,7 +239,25 @@ class TestTimeShift:
         ds = _patched(cls)(str(d), mode="test", hparams=hp)
         batch = next(ds.make_iterator(1))
         assert batch["images"].shape == (1, 10, 8, 8, 3)
-        np.testing.assert_array_equal(batch["images"][0], truth[0][0:28:3])
+        np.testing.assert_array_equal(batch["images"][0], truth[0][0:10])
+
+    def test_train_offset_quantized(self, tmp_path):
+        d = tmp_path / "bair3" / "train"
+        d.mkdir(parents=True)
+        truth = write_bair_fixture(str(d / "t.tfrecord"), num_examples=1)
+        cls = get_dataset_class("bair")
+        hp = DatasetHparams(sequence_length=10, time_shift=3)
+        ds = _patched(cls)(str(d), mode="train", hparams=hp, seed=0)
+        it = ds.make_iterator(1)
+        # stored 30 frames, window 10 -> offsets in {0,3,...,18}
+        valid = {off: truth[0][off : off + 10] for off in range(0, 21, 3)}
+        seen = set()
+        for _ in range(24):
+            imgs = next(it)["images"][0]
+            matches = [o for o, w in valid.items() if np.array_equal(imgs, w)]
+            assert matches, "window is not a quantized contiguous slice"
+            seen.add(matches[0])
+        assert len(seen) > 1, "train offsets never varied"
 
 
 class TestFeederErrors:

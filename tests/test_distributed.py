@@ -103,6 +103,41 @@ class TestPerHostBatch:
             per_host_batch(16)
 
 
+class TestValidateSpatialMesh:
+    """validate_spatial_mesh derives the bottleneck extent from the
+    generator's OWN scale rule (models/savp.py#generator_num_scales — one
+    source of truth, r4 VERDICT weak #4)."""
+
+    def _mesh(self, k):
+        import jax
+
+        from video_prediction_tpu.parallel.mesh import make_mesh
+
+        return make_mesh(jax.devices()[: 2 * k], model_parallel=k)
+
+    def test_matches_generator_rule(self):
+        from video_prediction_tpu.models.savp import generator_num_scales
+
+        # 64px -> 3 scales (8px bottleneck); 128px -> 4 (8px); 256px -> 4 (16px)
+        assert generator_num_scales(64, 64) == 3
+        assert generator_num_scales(128, 128) == 4
+        assert generator_num_scales(256, 256) == 4
+        assert generator_num_scales(16, 16) == 1
+
+    def test_accepts_and_rejects(self):
+        from video_prediction_tpu.parallel.mesh import validate_spatial_mesh
+
+        mesh2 = self._mesh(2)
+        validate_spatial_mesh(mesh2, 64, 64)  # 8px bottleneck / 2 = 4 rows: ok
+        validate_spatial_mesh(mesh2, 128, 128)
+        mesh4 = self._mesh(4)
+        validate_spatial_mesh(mesh4, 256, 256)  # 16px bottleneck / 4 = 4: ok
+        with pytest.raises(ValueError, match="spatial_shards"):
+            validate_spatial_mesh(mesh4, 64, 64)  # 8 / 4 = 2 rows: degenerate
+        with pytest.raises(ValueError, match="spatial_shards"):
+            validate_spatial_mesh(mesh4, 128, 128)
+
+
 _WORKER = textwrap.dedent(
     """
     import os, sys
@@ -151,6 +186,19 @@ _TRAIN_WORKER = textwrap.dedent(
     it = DeviceFeeder(host_batches(), mesh=mesh)
     batch = next(it)
     assert batch["images"].shape == (4, 4, 16, 16, 3)  # GLOBAL batch assembled
+
+    # multi-host x spatial-partitioning FEED path (r4 advisor finding):
+    # dp2 x sp2 mesh — data axis spans the two processes, model axis stays
+    # intra-process (make_mesh now asserts that invariant) — and per-key
+    # spatial shardings assemble via make_array_from_process_local_data
+    from jax.sharding import PartitionSpec as P
+    smesh = make_mesh(model_parallel=2)
+    sit = DeviceFeeder(host_batches(), mesh=smesh)
+    sbatch = next(sit)
+    assert sbatch["images"].shape == (4, 4, 16, 16, 3)
+    assert sbatch["images"].sharding.spec == P("data", None, "model"), (
+        sbatch["images"].sharding)
+    sit.close()
     init = {"images": np.zeros((local_bs, 4, 16, 16, 3), np.float32)}
     ts = create_train_state(model, jax.random.PRNGKey(0), init)
     step = make_train_step(model, mesh=mesh)

@@ -193,13 +193,32 @@ class TestNativePipeline:
         for k in serial:
             np.testing.assert_array_equal(serial[k], pooled[k])
 
-    def test_time_shift_stride(self, fixture_dir):
+    def test_time_shift_contiguous_quantized(self, fixture_dir):
         d, truth = fixture_dir
         cls = _patched(get_dataset_class("bair"))
         hp = DatasetHparams(sequence_length=10, time_shift=3)
         ds = cls(d, mode="test", hparams=hp)
         batch = next(ds.make_iterator(1, backend="native"))
-        np.testing.assert_array_equal(batch["images"][0], truth[0][0:28:3])
+        # eval: contiguous window starting at 0 (no frame skipping)
+        np.testing.assert_array_equal(batch["images"][0], truth[0][0:10])
+        # train: contiguous windows at offsets that are multiples of 3
+        ds = cls(d, mode="train", hparams=hp, seed=0)
+        it = ds.make_iterator(1, backend="native")
+        valid = [
+            {off: t[off : off + 10] for off in range(0, 21, 3)} for t in truth
+        ]
+        seen = set()
+        for _ in range(24):
+            imgs = next(it)["images"][0]
+            matches = [
+                o
+                for per_rec in valid
+                for o, w in per_rec.items()
+                if np.array_equal(imgs, w)
+            ]
+            assert matches, "window is not a quantized contiguous slice"
+            seen.add(matches[0])
+        assert len(seen) > 1, "train offsets never varied"
 
     def test_train_mode_shuffles_and_repeats(self, fixture_dir):
         d, _ = fixture_dir

@@ -174,10 +174,40 @@ class ModelHparams:
     # batch-64 winner point (737.5 vs 550 ms/step) — keep False.
     disc_conv3d_taps: bool = False
 
+    # Enum-valued fields validated at construction. Several consumers
+    # resolve these with silent fallbacks (e.g. savp.py's
+    # ``jnp.bfloat16 if hp.gate_dtype == "bfloat16" else jnp.float32`` —
+    # a typo like "bf16" would quietly run fp32 gates and poison an A/B
+    # probe), so reject unknown values here, the one choke point every
+    # construction path (defaults, JSON zoo, k=v overrides, replace())
+    # goes through.
+    _ALLOWED = {
+        "gan_loss_type": ("GAN", "LSGAN", "hinge"),
+        "kl_anneal": ("none", "sigmoid", "linear"),
+        "conv_rnn": ("lstm", "gru"),
+        "transformation": ("cdna", "dna", "stp", "flow", "direct"),
+        "kernel_normalization": ("softmax", "relu"),
+        "where_add": ("all", "input", "middle"),
+        "schedule_sampling": ("none", "inverse_sigmoid", "linear", "always"),
+        "compute_dtype": ("float32", "bfloat16"),
+        "remat_policy": ("full", "names"),
+        "lstm_gate_conv": ("merged", "split"),
+        "gate_dtype": ("float32", "bfloat16"),
+    }
+
+    def __post_init__(self):
+        for field, allowed in self._ALLOWED.items():
+            value = getattr(self, field)
+            if value not in allowed:
+                raise ValueError(
+                    f"{field}={value!r} is not one of {sorted(allowed)}"
+                )
+
     def replace(self, **kw) -> "ModelHparams":
         return dataclasses.replace(self, **kw)
 
     def to_dict(self) -> Dict[str, Any]:
+        # _ALLOWED has no annotation -> not a dataclass field -> not in asdict
         return dataclasses.asdict(self)
 
 
@@ -188,12 +218,13 @@ class DatasetHparams:
     context_frames: int = 2
     sequence_length: int = 12
     long_sequence_length: int = 30
-    # RECONSTRUCTION HYPOTHESIS (unverified — reference mount empty, SURVEY
-    # §0 re-verify list): implemented as a temporal SUBSAMPLE STRIDE — the
-    # slice takes every time_shift-th frame of a random window
-    # (data/base.py#_slice_sequences). The reference's `time_shift` could
-    # instead be an offset/slide control; whichever it is silently changes
-    # what data the model trains on, so walk this first when the mount works.
+    # Quantum of the random temporal-window start offset: the slice is a
+    # CONTIGUOUS sequence_length window starting at a random multiple of
+    # time_shift (train) / at 0 (eval) — reference slice_sequences
+    # semantics (data/base.py#_slice_sequences). Rounds 1-4 implemented
+    # this as a subsample stride (frame skipping); corrected per the r4
+    # advisor finding. Reconstruction — re-walk when the mount works
+    # (SURVEY §0).
     time_shift: int = 1
     use_state: bool = False
     shuffle_on_val: bool = False

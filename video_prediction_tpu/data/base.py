@@ -138,34 +138,35 @@ class BaseVideoDataset:
 
     # ------------------------------------------------------------------ #
     def _slice_sequences(self, example: Dict[str, Any]):
-        """Random (train) / deterministic (eval) temporal window of
-        ``hparams.sequence_length`` frames (reference ``slice_sequences``).
+        """CONTIGUOUS temporal window of ``hparams.sequence_length`` frames,
+        random start (train) / start 0 (eval) — reference ``slice_sequences``.
 
-        ``time_shift`` semantics are a RECONSTRUCTION HYPOTHESIS (the
-        reference mount is empty — SURVEY §0): we read it as a temporal
-        subsample STRIDE (take every time_shift-th frame of the window);
-        an offset/slide interpretation is also plausible. Flagged in
-        hparams.py#DatasetHparams.time_shift and ARCHITECTURE.md — walk
-        it first when the reference becomes readable."""
+        ``time_shift`` quantizes the random start offset to multiples of
+        itself (t_start = uniform(0, num_shifts+1) * time_shift with
+        num_shifts = (source_len - seq_len) // time_shift); the window
+        itself never skips frames. Rounds 1-4 read time_shift as a
+        temporal subsample STRIDE, which trains on different (frame-
+        skipped) data whenever time_shift > 1 — corrected per the r4
+        advisor finding (ADVICE.md); only time_shift = 1 was equivalent.
+        Exact value still to be walked against the real reference when
+        the mount is populated (SURVEY §0)."""
         tf = _tf()
         hp = self.hparams
         source_len = self.source_sequence_length
         seq_len = hp.sequence_length
-        stride = max(hp.time_shift, 1)  # temporal subsample stride
-        span = (seq_len - 1) * stride + 1
-        if span > source_len:
+        shift = max(hp.time_shift, 1)  # start-offset quantum, NOT a stride
+        if seq_len > source_len:
             raise ValueError(
-                f"sequence_length {seq_len} x time_shift {stride} needs {span} frames "
-                f"> stored length {source_len}"
+                f"sequence_length {seq_len} > stored length {source_len}"
             )
-        max_off = source_len - span
-        if self.mode == "train" and max_off > 0:
-            off = tf.random.uniform((), 0, max_off + 1, dtype=tf.int32)
+        num_shifts = (source_len - seq_len) // shift
+        if self.mode == "train" and num_shifts > 0:
+            off = tf.random.uniform((), 0, num_shifts + 1, dtype=tf.int32) * shift
         else:
             off = 0
         out = {}
         for k, v in example.items():
-            out[k] = v[off : off + span : stride]
+            out[k] = v[off : off + seq_len]
         return out
 
     def make_dataset(self, batch_size: int):

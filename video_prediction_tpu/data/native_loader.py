@@ -118,14 +118,15 @@ class NativeVideoPipeline:
         hp = self.ds.hparams
         source_len = self.ds.source_sequence_length
         seq_len = hp.sequence_length
-        stride = max(hp.time_shift, 1)
-        span = (seq_len - 1) * stride + 1
-        if span > source_len:
+        # time_shift quantizes the random start offset of a CONTIGUOUS
+        # window (reference slice_sequences semantics; see
+        # data/base.py#_slice_sequences for the full note)
+        shift = max(hp.time_shift, 1)
+        if seq_len > source_len:
             raise ValueError(
-                f"sequence_length {seq_len} x time_shift {stride} needs {span} frames "
-                f"> stored length {source_len}"
+                f"sequence_length {seq_len} > stored length {source_len}"
             )
-        max_off = source_len - span
+        num_shifts = (source_len - seq_len) // shift
 
         from video_prediction_tpu import native
 
@@ -135,11 +136,11 @@ class NativeVideoPipeline:
             # sliced frames are decoded/copied (time_indices — 2.5x fewer
             # JPEG decodes at seq 12 of 30)
             off = (
-                self.rng.randint(0, max_off + 1)
-                if (self.ds.mode == "train" and max_off > 0)
+                self.rng.randint(0, num_shifts + 1) * shift
+                if (self.ds.mode == "train" and num_shifts > 0)
                 else 0
             )
-            idx = range(off, off + span, stride)
+            idx = range(off, off + seq_len)
             if isinstance(raw, native.GatheredExample):
                 ex = self.ds.parse_gathered_np(raw, time_indices=idx)
             else:

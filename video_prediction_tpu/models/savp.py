@@ -432,8 +432,7 @@ class SAVPGenerator(nn.Module):
     ) -> Dict[str, jax.Array]:
         hp = self.hparams
         b, t, hgt, wid, c = images.shape
-        # bottleneck at 8x8: 3 scales for 64px inputs, 4 for 128px, >=1 always
-        num_scales = max(1, min(4, _static_log2(min(hgt, wid)) - 3))
+        num_scales = generator_num_scales(hgt, wid)
 
         cell = SAVPCell(hparams=hp, num_scales=num_scales, dtype=self.dtype)
 
@@ -545,3 +544,15 @@ def _static_log2(n: int) -> int:
     while (1 << (k + 1)) <= n:
         k += 1
     return k
+
+
+def generator_num_scales(height: int, width: int) -> int:
+    """Encoder/decoder scale count for a given input resolution: bottleneck
+    at 8x8 — 3 scales for 64px inputs, 4 for 128px, >=1 always.
+
+    The single source of truth for the generator's downsample depth:
+    ``SAVPGenerator.__call__`` builds the cell with it, and
+    ``parallel/mesh.py#validate_spatial_mesh`` derives the spatial-shard
+    bottleneck extent from it (keeping the guard from silently validating
+    a different architecture if this rule ever changes)."""
+    return max(1, min(4, _static_log2(min(height, width)) - 3))

@@ -40,6 +40,24 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None, model_parallel: in
     if n % model_parallel != 0:
         raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
     arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    if model_parallel > 1:
+        # The model (spatial) axis must stay INTRA-process: multi-host
+        # feeding goes through make_array_from_process_local_data with each
+        # process holding full-height local examples (data/loader.py,
+        # shard_batch), which cannot assemble an image whose H-shards live
+        # on different hosts. The default device order makes model the
+        # fastest-varying axis so this holds whenever model_parallel
+        # divides the per-process device count — assert it instead of
+        # assuming it (r4 advisor finding).
+        for row in arr:
+            procs = {d.process_index for d in row}
+            if len(procs) > 1:
+                raise ValueError(
+                    f"model axis spans processes {sorted(procs)}; spatial "
+                    f"partitioning requires the model axis to stay within "
+                    f"one process (use model_parallel <= devices per host, "
+                    f"dividing it evenly)"
+                )
     return Mesh(arr, ("data", "model"))
 
 
@@ -118,10 +136,13 @@ def validate_spatial_mesh(mesh: Mesh, height: int, width: int) -> None:
     k = mesh.shape.get("model", 1)
     if k <= 1:
         return
+    # the generator's own scale rule — ONE source of truth (lazy import:
+    # models/savp.py imports nothing from this module's heavy path at call
+    # time, but keeping it out of module scope avoids any future cycle)
+    from video_prediction_tpu.models.savp import generator_num_scales
+
     size = min(height, width)
-    # mirrors models/savp.py#SAVPGenerator scale selection
-    num_scales = max(1, min(4, (size.bit_length() - 1) - 3))
-    bottleneck = size >> num_scales
+    bottleneck = size >> generator_num_scales(height, width)
     if bottleneck % k or bottleneck // k < 4:
         raise ValueError(
             f"spatial_shards={k} over {height}x{width} inputs leaves "
@@ -138,15 +159,18 @@ def validate_spatial_mesh(mesh: Mesh, height: int, width: int) -> None:
 # sharding (small-extent subnetworks) call ``constrain_data_parallel``,
 # which is a no-op unless the train/eval step is being traced under
 # ``spatial_trace_mesh``. Why opting out matters: per-shard spatial extents
-# below the kernel size are a degenerate GSPMD corner — measured on
-# XLA:CPU, a k=4 stride-2 conv whose kernel is a fused computed value
-# (spectral norm's ``w / sigma``) MISCOMPILES when per-shard H < k (output
-# off by O(1), not reassociation noise; plain-kernel or s=1 or k=3 cases
-# are exact). The discriminators/posterior reduce to 4x4 maps where shards
-# degenerate AND they are a small slice of step time, so they run
-# data-parallel-only; the generator — 84% of device time and the
-# activation-memory hog SP exists for — stays spatially sharded at extents
-# that never degenerate (train.py guards the bottleneck extent).
+# below the kernel size are a degenerate GSPMD corner — bisected on
+# **XLA:CPU only** (the sole multi-device backend available in this
+# single-chip environment): a k=4 stride-2 conv whose kernel is a fused
+# computed value (spectral norm's ``w / sigma``) MISCOMPILES when
+# per-shard H < k (output off by O(1), not reassociation noise;
+# plain-kernel or s=1 or k=3 cases are exact). Whether XLA:TPU shares the
+# corner is UNTESTED — do not read this as a TPU-backend diagnosis; the
+# re-constraint is kept because it is near-free (discs+posterior are
+# ~12-15% of step time) and removes the corner on every backend either
+# way. The generator — 84% of device time and the activation-memory hog
+# SP exists for — stays spatially sharded at extents that never
+# degenerate (train.py guards the bottleneck extent).
 _SPATIAL_TRACE_MESH: contextvars.ContextVar[Optional[Mesh]] = contextvars.ContextVar(
     "vp_spatial_trace_mesh", default=None
 )
