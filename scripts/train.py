@@ -277,7 +277,10 @@ def main(argv=None):
                 sps = (step - last_timed_step) / dt
                 print(
                     f"step {step}: g_loss={g_loss:.4f} d_loss={d_loss:.4f} "
-                    f"steps/s={sps:.2f} frames/s={sps * frames_per_step:.0f}"
+                    f"steps/s={sps:.2f} frames/s={sps * frames_per_step:.0f}",
+                    # flush: long runs are watched through redirected logs,
+                    # where block buffering would hide hours of progress
+                    flush=True,
                 )
                 t_last = time.time()
                 last_timed_step = step
