@@ -239,6 +239,24 @@ def main():
         print(json.dumps({"error": f"non-finite losses g={g_loss} d={d_loss}"}), file=sys.stderr)
         sys.exit(1)
 
+    # eval-side generation throughput at the measured sweet spot (effective
+    # batch 256 = evaluate.py's batched best-of-N rollout; full sweep in
+    # ARCHITECTURE.md's generation table). Secondary metric — a failure here
+    # (e.g. a cold compile cache timing out) must not sink the train bench.
+    generation = None
+    try:
+        from video_prediction_tpu.bench_common import generation_probe
+
+        g = generation_probe(64, 4, n_rollouts=15)
+        if np.isfinite(g["acc"]):
+            generation = {
+                "gen_frames_per_sec_per_chip": round(g["gen_frames_per_sec"] / n_chips, 2),
+                "ms_per_rollout": round(g["ms_per_rollout"], 3),
+                "effective_batch": g["effective_batch"],
+            }
+    except Exception as e:  # noqa: BLE001 — secondary metric, report and move on
+        print(f"generation probe failed: {e!r}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -249,6 +267,7 @@ def main():
                 "device_kind": device_kind,
                 "timing": "sustained, value-fetch synced (r01 measured async enqueue rate; see bench.py docstring)",
                 "rows": rows,
+                "generation": generation,
             }
         )
     )

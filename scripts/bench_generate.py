@@ -31,91 +31,11 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 # allow `python scripts/<tool>.py` from anywhere: put the repo root on sys.path
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
-
-import jax
-
-
-def probe(
-    batch_size: int,
-    samples_per_rollout: int,
-    unroll: int,
-    gate: str,
-    gate_dtype: str,
-    n_rollouts: int = 20,
-    sequence_length: int = 12,
-    context_frames: int = 2,
-    size: int = 64,
-    rounds: int = 2,
-    extra_hparams: str = "",
-) -> dict:
-    """Sustained sec/rollout of the eval-path forward (train=False) at
-    effective device batch = batch_size * samples_per_rollout — exactly
-    what evaluate.py#iter_sample_chunks dispatches per chunk."""
-    import jax.numpy as jnp
-
-    from video_prediction_tpu.bench_common import savp_bench_hparams, synthetic_batch
-    from video_prediction_tpu.models import get_model_class
-
-    hp = savp_bench_hparams(
-        batch_size,
-        scan_unroll=unroll,
-        lstm_gate_conv=gate,
-        gate_dtype=gate_dtype,
-        sequence_length=sequence_length,
-        context_frames=context_frames,
-        extra=extra_hparams,
-    )
-    model = get_model_class("savp")(hp, mode="test")
-    eff = batch_size * samples_per_rollout
-    batch = synthetic_batch(eff, sequence_length, size)
-
-    rng = jax.random.PRNGKey(0)
-    params, _ = model.init_variables(rng, batch)
-
-    @jax.jit
-    def rollout_sum(params, batch, rng):
-        # the evaluate.py rollout, reduced to one scalar so chained calls
-        # can be accumulated and synced with a single value fetch
-        out = model.forward(params, batch, rng, jnp.zeros((), jnp.int32), train=False)
-        return out["gen_images"].mean()
-
-    # warmup + compile (value fetch = real sync, includes compile)
-    t0 = time.perf_counter()
-    acc = rollout_sum(params, batch, rng)
-    float(acc)
-    compile_s = time.perf_counter() - t0
-
-    dt = float("inf")
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        acc = jnp.zeros((), jnp.float32)
-        for i in range(n_rollouts):
-            # acc depends on every rollout; the final value fetch cannot
-            # materialize before all of them have executed
-            acc = acc + rollout_sum(params, batch, jax.random.fold_in(rng, i))
-        val = float(acc)
-        dt = min(dt, time.perf_counter() - t0)
-    # predicted frames per rollout: every sequence in the effective batch
-    # predicts (T - context) frames
-    frames = eff * (sequence_length - context_frames)
-    return {
-        "batch": batch_size,
-        "samples_per_rollout": samples_per_rollout,
-        "effective_batch": eff,
-        "unroll": unroll,
-        "gate": gate,
-        "gate_dtype": gate_dtype,
-        "ms_per_rollout": dt / n_rollouts * 1e3,
-        "gen_frames_per_sec": frames / (dt / n_rollouts),
-        "compile_s": compile_s,
-        "acc": val,
-    }
 
 
 def main() -> None:
@@ -138,15 +58,16 @@ def main() -> None:
     p.add_argument("--hparams", default="", help="extra k=v,... ModelHparams overrides")
     args = p.parse_args()
 
+    from video_prediction_tpu.bench_common import generation_probe
     from video_prediction_tpu.utils.watchdog import device_init_or_die
 
     device_init_or_die()
-    r = probe(
+    r = generation_probe(
         args.batch,
         args.samples,
-        args.unroll,
-        args.gate,
-        args.gate_dtype,
+        unroll=args.unroll,
+        gate=args.gate,
+        gate_dtype=args.gate_dtype,
         n_rollouts=args.rollouts,
         sequence_length=args.sequence_length,
         context_frames=args.context_frames,

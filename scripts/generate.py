@@ -57,6 +57,7 @@ def main(argv=None):
     from video_prediction_tpu.configs.hparams import (
         DatasetHparams,
         ModelHparams,
+        adopt_inference_defaults,
         apply_overrides,
         parse_overrides,
     )
@@ -74,10 +75,13 @@ def main(argv=None):
         dhp = apply_overrides(DatasetHparams(), json.load(f))
     model_name = args.model or options["model"]
     dataset_name = args.dataset or options["dataset"]
-    if args.model_hparams:
-        hp = apply_overrides(hp, parse_overrides(args.model_hparams))
+    user_overrides = parse_overrides(args.model_hparams) if args.model_hparams else {}
+    if user_overrides:
+        hp = apply_overrides(hp, user_overrides)
     if args.dataset_hparams:
         dhp = apply_overrides(dhp, parse_overrides(args.dataset_hparams))
+    # measured inference operating point (numerics-neutral; see helper docs)
+    hp = adopt_inference_defaults(hp, user_overrides)
 
     # long-rollout generation (see evaluate.py: the scanned generator takes
     # its length from the input sequence)

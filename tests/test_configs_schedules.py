@@ -47,6 +47,30 @@ class TestOverrides:
         assert parse_overrides("") == {}
 
 
+class TestInferenceDefaults:
+    """evaluate.py/generate.py adopt the measured inference operating
+    point (full time-loop unroll — ~25% faster, numerics-neutral) on
+    restored hparams unless the user pinned scan_unroll explicitly."""
+
+    def test_adopts_full_unroll(self):
+        from video_prediction_tpu.configs.hparams import adopt_inference_defaults
+
+        hp = ModelHparams(scan_unroll=1)
+        assert adopt_inference_defaults(hp, {}).scan_unroll == 0
+
+    def test_user_override_wins(self):
+        from video_prediction_tpu.configs.hparams import adopt_inference_defaults
+
+        hp = ModelHparams(scan_unroll=2)
+        assert adopt_inference_defaults(hp, {"scan_unroll": 2}).scan_unroll == 2
+
+    def test_gate_dtype_untouched(self):
+        from video_prediction_tpu.configs.hparams import adopt_inference_defaults
+
+        hp = ModelHparams(gate_dtype="float32")
+        assert adopt_inference_defaults(hp, {}).gate_dtype == "float32"
+
+
 class TestEnumValidation:
     """Unknown enum-valued hparams must raise at construction, not fall
     back silently (a gate_dtype typo would quietly run fp32 gates and

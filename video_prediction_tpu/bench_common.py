@@ -85,6 +85,84 @@ def synthetic_batch(batch_size: int, sequence_length: int = SEQ_LEN, size: int =
     }
 
 
+def generation_probe(
+    batch_size: int,
+    samples_per_rollout: int,
+    *,
+    unroll: int = 0,
+    gate: str = "split",
+    gate_dtype: str = "bfloat16",
+    n_rollouts: int = 20,
+    sequence_length: int = SEQ_LEN,
+    context_frames: int = CONTEXT,
+    size: int = SIZE,
+    rounds: int = 2,
+    extra_hparams: str = "",
+) -> dict:
+    """Sustained sec/rollout of the eval-path forward (train=False) at
+    effective device batch = batch_size * samples_per_rollout — exactly
+    what evaluate.py#iter_sample_chunks dispatches per chunk (the
+    reference's best-of-N stochastic-sampling workload, SURVEY §7 hard
+    part #6). Same honest clock as training: rollouts accumulate into a
+    device scalar and the timing fetches that VALUE. Shared by
+    scripts/bench_generate.py and bench.py's ``generation`` row."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_prediction_tpu.models import get_model_class
+
+    hp = savp_bench_hparams(
+        batch_size,
+        scan_unroll=unroll,
+        lstm_gate_conv=gate,
+        gate_dtype=gate_dtype,
+        sequence_length=sequence_length,
+        context_frames=context_frames,
+        extra=extra_hparams,
+    )
+    model = get_model_class("savp")(hp, mode="test")
+    eff = batch_size * samples_per_rollout
+    batch = synthetic_batch(eff, sequence_length, size)
+
+    rng = jax.random.PRNGKey(0)
+    params, _ = model.init_variables(rng, batch)
+
+    @jax.jit
+    def rollout_sum(params, batch, rng):
+        out = model.forward(params, batch, rng, jnp.zeros((), jnp.int32), train=False)
+        return out["gen_images"].mean()
+
+    t0 = time.perf_counter()
+    acc = rollout_sum(params, batch, rng)
+    float(acc)
+    compile_s = time.perf_counter() - t0
+
+    dt = float("inf")
+    val = float("nan")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        acc = jnp.zeros((), jnp.float32)
+        for i in range(n_rollouts):
+            # acc depends on every rollout; the final value fetch cannot
+            # materialize before all of them have executed
+            acc = acc + rollout_sum(params, batch, jax.random.fold_in(rng, i))
+        val = float(acc)
+        dt = min(dt, time.perf_counter() - t0)
+    frames = eff * (sequence_length - context_frames)
+    return {
+        "batch": batch_size,
+        "samples_per_rollout": samples_per_rollout,
+        "effective_batch": eff,
+        "unroll": unroll,
+        "gate": gate,
+        "gate_dtype": gate_dtype,
+        "ms_per_rollout": dt / n_rollouts * 1e3,
+        "gen_frames_per_sec": frames / (dt / n_rollouts),
+        "compile_s": compile_s,
+        "acc": val,
+    }
+
+
 def timed_chained_steps(
     step_fn, ts, batch, n_steps: int, rounds: int = 2
 ) -> Tuple[float, object, dict]:

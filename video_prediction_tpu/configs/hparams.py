@@ -305,6 +305,25 @@ def apply_overrides(hparams, overrides: Dict[str, Any]):
     return hparams.replace(**kw)
 
 
+def adopt_inference_defaults(hp: ModelHparams, user_overrides: Dict[str, Any]) -> ModelHparams:
+    """Apply the measured inference-side operating point to restored hparams.
+
+    Training hparams are saved per run and restored verbatim by
+    evaluate.py/generate.py, but the no-grad rollout has no remat or
+    activation-memory wall, so the training-side scan_unroll choice is
+    pure overhead there: the fully-unrolled time loop measures ~25%
+    faster at eval (143.0 -> 114.4 ms/rollout at effective batch 64 —
+    ARCHITECTURE.md generation-throughput table). Adopt scan_unroll=0
+    unless the user pinned it via --model_hparams. This is a lowering
+    choice only — numerics and the param tree are unchanged, so any
+    checkpoint restores identically. (gate_dtype is intentionally NOT
+    flipped here: it changes numerics, so eval keeps what was trained.)
+    """
+    if "scan_unroll" not in user_overrides and hp.scan_unroll != 0:
+        hp = hp.replace(scan_unroll=0)
+    return hp
+
+
 def _resolve_type(field: dataclasses.Field):
     t = field.type
     if isinstance(t, str):

@@ -165,7 +165,12 @@ def validate_spatial_mesh(mesh: Mesh, height: int, width: int) -> None:
 # computed value (spectral norm's ``w / sigma``) MISCOMPILES when
 # per-shard H < k (output off by O(1), not reassociation noise;
 # plain-kernel or s=1 or k=3 cases are exact). Whether XLA:TPU shares the
-# corner is UNTESTED — do not read this as a TPU-backend diagnosis; the
+# corner is UNTESTED — do not read this as a TPU-backend diagnosis. (r5:
+# the chipless TpuAotCompiler compiles dp1xsp2 train-step executables
+# cleanly — sharded generator, halo exchanges, per-device HBM reported;
+# scripts/aot_memory.py — but those builds re-constrain the discs exactly
+# as production does, so the TPU lowering of the degenerate fused-SN
+# shard remains unexercised.) The
 # re-constraint is kept because it is near-free (discs+posterior are
 # ~12-15% of step time) and removes the corner on every backend either
 # way. The generator — 84% of device time and the activation-memory hog
