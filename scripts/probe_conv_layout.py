@@ -72,6 +72,17 @@ def _materialize(x_nhwc: np.ndarray, w_hwio: np.ndarray, dn):
 
 
 def time_cell(x, w, dn, stride, iters, rounds, backward):
+    """One jitted fori_loop applying the conv ``iters`` times.
+
+    A fori_loop, NOT a Python unroll: the remote compile helper on this
+    box takes ~3-4 MINUTES per executable regardless of size (measured
+    r5 — a 4-conv unrolled cell compiled in 180 s, a 16-iter fori_loop
+    in 246 s; a 30-conv unroll never returned inside 21 min), so the
+    loop body must stay one conv. The loop-carried ``acc`` chains every
+    iteration and the per-index weight scale defeats CSE; the final
+    value fetch is the only sync, so the clock stays honest.
+    """
+
     def conv(xx, ww):
         return jax.lax.conv_general_dilated(
             xx, ww, window_strides=(stride, stride), padding="SAME", dimension_numbers=dn
@@ -85,20 +96,20 @@ def time_cell(x, w, dn, stride, iters, rounds, backward):
 
         @jax.jit
         def cell(w):
-            acc = jnp.zeros((), jnp.float32)
-            for i in range(iters):
-                # per-iter weight scaling: defeats CSE across iterations at
-                # negligible cost (w is tiny next to the activations)
-                v, g = vg(w * (1.0 + 1e-6 * i))
-                acc = acc + v + g.astype(jnp.float32).mean()
-            return acc
+            def body(i, acc):
+                ww = (w.astype(jnp.float32) * (1.0 + 1e-6 * i.astype(jnp.float32))).astype(w.dtype)
+                v, g = vg(ww)
+                return acc + v + g.astype(jnp.float32).mean()
+
+            return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
     else:
         @jax.jit
         def cell(w):
-            acc = jnp.zeros((), jnp.float32)
-            for i in range(iters):
-                acc = acc + conv(x, w * (1.0 + 1e-6 * i)).astype(jnp.float32).mean()
-            return acc
+            def body(i, acc):
+                ww = (w * (1.0 + 1e-6 * i.astype(jnp.float32))).astype(w.dtype)
+                return acc + conv(x, ww).astype(jnp.float32).mean()
+
+            return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
 
     t0 = time.perf_counter()
     float(cell(w))  # compile + first run
@@ -113,9 +124,16 @@ def time_cell(x, w, dn, stride, iters, rounds, backward):
 
 def main():
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--iters", type=int, default=16)
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--fwd_only", action="store_true")
+    p.add_argument(
+        "--shapes",
+        default="",
+        help="comma-separated substring filter over shape names (empty = all); "
+        "use to bound the run — each (shape, layout, pass) cell costs a "
+        "~3-4 min remote compile on this box",
+    )
     args = p.parse_args()
 
     from video_prediction_tpu.utils.watchdog import device_init_or_die
@@ -123,7 +141,11 @@ def main():
     device_init_or_die()
     rng = np.random.RandomState(0)
     passes = ("fwd",) if args.fwd_only else ("fwd", "fwd+bwd")
-    for name, (b, h, w_, cin), cout, k, stride in SHAPES:
+    wanted = [s for s in args.shapes.split(",") if s]
+    shapes = [
+        row for row in SHAPES if not wanted or any(sub in row[0] for sub in wanted)
+    ]
+    for name, (b, h, w_, cin), cout, k, stride in shapes:
         x_nhwc = rng.rand(b, h, w_, cin).astype(np.float32)
         w_hwio = (rng.rand(k, k, cin, cout).astype(np.float32) - 0.5) * 0.1
         flops = 2 * b * (h // stride) * (w_ // stride) * k * k * cin * cout
